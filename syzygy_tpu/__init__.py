@@ -1,0 +1,28 @@
+"""syzygy_tpu — a TPU-native rebuild of the Syzygy deferred renderer.
+
+The reference (EllarBooher/Syzygy) is a C++20 Vulkan 1.3 deferred renderer +
+editor. This package reproduces its capabilities as an idiomatic JAX/XLA/Pallas
+engine: the Vulkan graphics pipeline becomes a tile-binned software rasterizer
+(a Pallas visibility-buffer kernel) plus vectorized per-pixel passes, and the
+whole frame — vertex transform, raster, G-buffer resolve, shadow maps, deferred
+PBR lighting, Hillaire atmosphere, tonemap, OETF — is one jitted program.
+
+Layer map (mirrors SURVEY.md §7):
+  math/     — geometry conventions, projections, transforms (geometry/ in ref)
+  scene/    — Atmosphere, Camera, lights, instanced meshes  (renderer/scene.*)
+  assets/   — glTF loading, procedural default assets       (assets/)
+  kernels/  — Pallas + jnp GPU programs                     (shaders/)
+  renderer/ — per-pass orchestration, frame graph           (renderer/)
+  parallel/ — multi-chip image-space sharding               (no ref equivalent)
+  app/      — headless driver loop, metrics                 (editor/)
+"""
+
+import jax as _jax
+
+# Geometry (4x4 transforms, vertex transforms, LUT math) needs true float32:
+# the default matmul precision lowers to bf16 on TPU, which visibly warps
+# projections (~1e-3 error). Hot kernels that can tolerate bf16 opt in locally
+# via preferred_element_type / explicit precision instead.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+__version__ = "0.1.0"
