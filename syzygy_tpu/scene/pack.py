@@ -1,0 +1,267 @@
+"""Scene -> device arrays, split host-cheap / device-jit.
+
+The TPU replacement for the reference's staged-buffer uploads
+(``renderer/renderer.cpp:302-366``), designed so the per-frame host path is
+numpy-only (microseconds):
+
+* :func:`pack_geometry` -> :class:`GeometryStatic` — topology, vertex data,
+  materials, textures. Rebuilt only on scene-graph edits. Vertices are
+  replicated per instance (instancing becomes a gather of the per-instance
+  model matrix, ``deferred/offscreen.vert:43-51``); counts are padded to
+  VPU-friendly multiples with validity masks.
+* :func:`pack_frame_params` -> :class:`FrameParams` — tiny raw numpy arrays:
+  instance TRS (post-animation), camera scalars, sun angles, light params,
+  shadow bounds. No jnp calls.
+* :func:`prepare_frame_state` -> :class:`FrameState` — runs INSIDE the jitted
+  frame: builds model matrices, camera pack, sun/moon bake, spot lights on
+  device. Matrix math rides the MXU; the host never blocks on it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from syzygy_tpu.math.geometry import orientate4
+from syzygy_tpu.scene.atmosphere import (
+    AtmospherePacked,
+    AtmosphereRaw,
+    atmosphere_raw,
+    bake_directional,
+    pack_atmosphere,
+)
+from syzygy_tpu.scene.camera import CameraPacked, pack_camera
+from syzygy_tpu.scene.lights import (
+    MAX_SPOT_LIGHTS,
+    DirectionalLight,
+    SpotLight,
+    SpotRaw,
+    make_spot_batched,
+    spot_raw,
+)
+from syzygy_tpu.scene.scene import Scene
+
+VERTEX_PAD = 128
+TRI_PAD = 128
+
+
+class GeometryStatic(NamedTuple):
+    """Static scene topology (device)."""
+
+    positions: jnp.ndarray  # (V, 3) f32, object space
+    normals: jnp.ndarray  # (V, 3) f32
+    uvs: jnp.ndarray  # (V, 2) f32
+    colors: jnp.ndarray  # (V, 4) f32
+    vert_instance: jnp.ndarray  # (V,) i32 -> models row
+    triangles: jnp.ndarray  # (T, 3) i32 into the arrays above
+    tri_material: jnp.ndarray  # (T,) i32 -> materials row
+    tri_valid: jnp.ndarray  # (T,) bool
+    tri_casts_shadow: jnp.ndarray  # (T,) bool
+    materials: jnp.ndarray  # (M, 3) i32: color/normal/orm texture ids
+    textures: jnp.ndarray  # (N, S, S, 4) f32, linear light
+
+
+class FrameParams(NamedTuple):
+    """Per-frame raw state (host numpy; becomes traced input of the frame)."""
+
+    translations: np.ndarray  # (I, 3)
+    euler_angles: np.ndarray  # (I, 3)
+    scales: np.ndarray  # (I, 3)
+    cam_position: np.ndarray  # (3,)
+    cam_euler_angles: np.ndarray  # (3,)
+    cam_fov_degrees: np.ndarray  # ()
+    cam_near: np.ndarray  # ()
+    cam_far: np.ndarray  # ()
+    aspect_ratio: np.ndarray  # ()
+    atmosphere: AtmosphereRaw
+    bounds_min: np.ndarray  # (3,) shadow bounds (scene.cpp:95-148)
+    bounds_max: np.ndarray  # (3,)
+    spots: SpotRaw
+    spot_count: np.ndarray  # i32
+    directional_skip_count: np.ndarray  # i32 (1 when sky pass lights the sun)
+
+
+class FrameState(NamedTuple):
+    """Derived device state consumed by the render passes."""
+
+    models: jnp.ndarray  # (I, 4, 4) f32
+    model_inv_transpose: jnp.ndarray  # (I, 4, 4) f32
+    camera: CameraPacked
+    atmosphere: AtmospherePacked
+    directional_lights: DirectionalLight  # stacked (2: sun, moon)
+    directional_count: jnp.ndarray  # i32
+    directional_skip_count: jnp.ndarray  # i32
+    spot_lights: SpotLight  # stacked (MAX_SPOT, ...)
+    spot_count: jnp.ndarray  # i32
+
+
+def _pad_rows(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
+    pad = total - arr.shape[0]
+    if pad < 0:
+        raise ValueError(f"capacity {total} < actual {arr.shape[0]}")
+    if pad == 0:
+        return arr
+    return np.concatenate(
+        [arr, np.full((pad, *arr.shape[1:]), fill, arr.dtype)], axis=0
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _renderable(scene: Scene):
+    return [i for i in scene.geometry if i.mesh is not None and i.render]
+
+
+def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
+    """Flatten all renderable instances into one padded triangle soup."""
+    positions, normals, uvs, colors, vert_instance = [], [], [], [], []
+    triangles, tri_material, tri_shadow = [], [], []
+    materials: list[tuple[int, int, int]] = []
+    material_ids: dict[tuple[int, int, int], int] = {}
+
+    vert_base = 0
+    instance_index = 0
+    for instance in _renderable(scene):
+        mesh = instance.mesh
+        for _ in instance.transforms:
+            positions.append(mesh.positions)
+            normals.append(mesh.normals)
+            uvs.append(mesh.uvs)
+            colors.append(mesh.colors)
+            vert_instance.append(
+                np.full(mesh.positions.shape[0], instance_index, np.int32)
+            )
+            for surface in mesh.surfaces:
+                key = (
+                    surface.material.color,
+                    surface.material.normal,
+                    surface.material.orm,
+                )
+                if key not in material_ids:
+                    material_ids[key] = len(materials)
+                    materials.append(key)
+                mat = material_ids[key]
+                tris = mesh.triangles[
+                    surface.first_tri : surface.first_tri + surface.tri_count
+                ]
+                triangles.append(tris + vert_base)
+                tri_material.append(np.full(len(tris), mat, np.int32))
+                tri_shadow.append(np.full(len(tris), instance.casts_shadow, bool))
+            vert_base += mesh.positions.shape[0]
+            instance_index += 1
+
+    if vert_base == 0:
+        raise ValueError("scene has no renderable geometry")
+
+    positions = np.concatenate(positions)
+    normals = np.concatenate(normals)
+    uvs = np.concatenate(uvs)
+    colors = np.concatenate(colors)
+    vert_instance = np.concatenate(vert_instance)
+    triangles = np.concatenate(triangles).astype(np.int32)
+    tri_material = np.concatenate(tri_material)
+    tri_shadow = np.concatenate(tri_shadow)
+
+    v_cap = _round_up(positions.shape[0], VERTEX_PAD)
+    t_cap = _round_up(triangles.shape[0], TRI_PAD)
+    n_tris = triangles.shape[0]
+
+    tri_valid = np.zeros(t_cap, bool)
+    tri_valid[:n_tris] = True
+
+    return GeometryStatic(
+        positions=jnp.asarray(_pad_rows(positions, v_cap)),
+        normals=jnp.asarray(_pad_rows(normals, v_cap)),
+        uvs=jnp.asarray(_pad_rows(uvs, v_cap)),
+        colors=jnp.asarray(_pad_rows(colors, v_cap)),
+        vert_instance=jnp.asarray(_pad_rows(vert_instance, v_cap)),
+        triangles=jnp.asarray(_pad_rows(triangles, t_cap)),
+        tri_material=jnp.asarray(_pad_rows(tri_material, t_cap)),
+        tri_valid=jnp.asarray(tri_valid),
+        tri_casts_shadow=jnp.asarray(
+            _pad_rows(tri_shadow.astype(bool), t_cap, False)
+        ),
+        materials=jnp.asarray(np.asarray(materials, np.int32).reshape(-1, 3)),
+        textures=jnp.asarray(texture_library.as_array()),
+    )
+
+
+def pack_frame_params(scene: Scene, aspect_ratio: float) -> FrameParams:
+    """Numpy-only per-frame snapshot (replaces staged-buffer pushes)."""
+    translations, eulers, scales = [], [], []
+    for instance in _renderable(scene):
+        for t in instance.transforms:
+            translations.append(t.translation)
+            eulers.append(t.euler_angles)
+            scales.append(t.scale)
+    if not translations:
+        translations = [np.zeros(3, np.float32)]
+        eulers = [np.zeros(3, np.float32)]
+        scales = [np.ones(3, np.float32)]
+
+    bounds_min, bounds_max = scene.shadow_bounds()
+    spots, spot_count = spot_raw(
+        scene.spotlights if scene.spotlights_render else [], MAX_SPOT_LIGHTS
+    )
+    f = np.float32
+    return FrameParams(
+        translations=np.asarray(translations, np.float32),
+        euler_angles=np.asarray(eulers, np.float32),
+        scales=np.asarray(scales, np.float32),
+        cam_position=np.asarray(scene.camera.position, np.float32),
+        cam_euler_angles=np.asarray(scene.camera.euler_angles, np.float32),
+        cam_fov_degrees=f(scene.camera.fov_degrees),
+        cam_near=f(scene.camera.near),
+        cam_far=f(scene.camera.far),
+        aspect_ratio=f(aspect_ratio),
+        atmosphere=atmosphere_raw(scene.atmosphere),
+        bounds_min=np.asarray(bounds_min, np.float32),
+        bounds_max=np.asarray(bounds_max, np.float32),
+        spots=spots,
+        spot_count=np.int32(spot_count),
+        directional_skip_count=np.int32(1 if scene.render_atmosphere else 0),
+    )
+
+
+def prepare_frame_state(params: FrameParams) -> FrameState:
+    """Device-side derivation of all per-frame matrices (runs under jit)."""
+    # Model matrices: T @ R @ S batched over instances (Transform::toMatrix)
+    rot = orientate4(params.euler_angles)  # (I, 4, 4)
+    scales4 = jnp.concatenate(
+        [params.scales, jnp.ones((*params.scales.shape[:-1], 1), jnp.float32)],
+        axis=-1,
+    )
+    models = rot * scales4[..., None, :]  # scale columns
+    models = models.at[..., 0:3, 3].set(params.translations)
+    inv_t = jnp.linalg.inv(models).transpose(0, 2, 1)
+
+    camera = pack_camera(
+        params.cam_position,
+        params.cam_euler_angles,
+        params.cam_fov_degrees,
+        params.cam_near,
+        params.cam_far,
+        params.aspect_ratio,
+    )
+    atmosphere = pack_atmosphere(params.atmosphere)
+    directional = bake_directional(
+        params.atmosphere, params.bounds_min, params.bounds_max
+    )
+    spot_lights = make_spot_batched(params.spots)
+    return FrameState(
+        models=models,
+        model_inv_transpose=inv_t,
+        camera=camera,
+        atmosphere=atmosphere,
+        directional_lights=directional,
+        directional_count=jnp.asarray(2, jnp.int32),
+        directional_skip_count=jnp.asarray(
+            params.directional_skip_count, jnp.int32
+        ),
+        spot_lights=spot_lights,
+        spot_count=jnp.asarray(params.spot_count, jnp.int32),
+    )

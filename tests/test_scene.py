@@ -1,0 +1,172 @@
+"""Scene layer: packing shapes, light construction, sun animation, defaults."""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from syzygy_tpu.assets import TextureLibrary, cube_mesh, register_default_textures
+from syzygy_tpu.scene import (
+    MAX_SPOT_LIGHTS,
+    Atmosphere,
+    Camera,
+    InstanceAnimation,
+    Scene,
+    SunAnimation,
+    TransformHost,
+    default_scene,
+    pack_frame_params,
+    pack_geometry,
+    prepare_frame_state,
+)
+
+
+def test_default_scene_packs():
+    scene, library = default_scene()
+    geo = pack_geometry(scene, library)
+    # 2 cubes (24 verts) + plane (4 verts) = 52 -> padded to 128
+    assert geo.positions.shape == (128, 3)
+    assert geo.triangles.shape[0] == 128  # 2*12 + 2 = 26 tris -> 128
+    assert int(geo.tri_valid.sum()) == 26
+    assert geo.materials.shape == (1, 3)  # all share the default material
+    assert geo.textures.shape[0] == 3  # orm, color, normal
+
+    params = pack_frame_params(scene, 16 / 9)
+    # host path is numpy-only
+    assert all(
+        isinstance(l, (np.ndarray, np.generic)) for l in jax.tree.leaves(params)
+    )
+    frame = jax.jit(prepare_frame_state)(params)
+    assert frame.models.shape == (3, 4, 4)
+    assert int(frame.directional_count) == 2  # sun + moon
+    assert int(frame.spot_count) == 1
+    assert frame.directional_lights.projection.shape == (2, 4, 4)
+    assert frame.spot_lights.projection.shape == (MAX_SPOT_LIGHTS, 4, 4)
+
+
+def test_prepare_frame_models_match_host_matrices():
+    scene, library = default_scene()
+    scene.tick(0.37)
+    params = pack_frame_params(scene, 1.0)
+    frame = jax.jit(prepare_frame_state)(params)
+    host = np.concatenate(
+        [i.model_matrices() for i in scene.geometry if i.mesh is not None]
+    )
+    np.testing.assert_allclose(np.asarray(frame.models), host, atol=1e-4)
+    # inverse transposes really are inverse transposes
+    for m, it in zip(host, np.asarray(frame.model_inv_transpose)):
+        np.testing.assert_allclose(m.T @ it, np.eye(4), atol=2e-3)
+
+
+def test_floor_plane_scale_normalization():
+    # setMesh (scene.cpp:796-820): plane's flat axis floors at 0.01 -> x100
+    scene, _ = default_scene()
+    floor = next(i for i in scene.geometry if "Floor" in i.name)
+    np.testing.assert_allclose(floor.transforms[0].scale, [2000.0, 100.0, 2000.0])
+    cube1 = next(i for i in scene.geometry if "Model_1" in i.name)
+    np.testing.assert_allclose(cube1.transforms[0].scale, [5.0, 5.0, 5.0])
+
+
+def test_shadow_bounds_covers_floor():
+    scene, _ = default_scene()
+    bounds_min, bounds_max = scene.shadow_bounds()
+    assert float(bounds_max[0]) >= 2000.0
+    assert float(bounds_min[0]) <= -2000.0
+
+
+def test_sun_animation_wrap_and_skip_night():
+    anim = SunAnimation(frozen=False, time=0.999, speed=86400.0, skip_night=False)
+    anim.tick(0.5)  # advances 0.5 of a day
+    assert 0.0 <= anim.time < 1.0
+    night = SunAnimation(frozen=False, time=0.1, speed=100.0, skip_night=True)
+    night.tick(0.01)
+    assert night.time == pytest.approx(0.25 - 0.015)
+
+
+def test_sun_pitch_straight_down_at_midnight():
+    anim = SunAnimation(time=0.0)
+    assert anim.sun_pitch_radians() == pytest.approx(math.pi / 2)
+    # noon: sun overhead -> pitch = pi/2 + pi
+    anim.time = 0.5
+    assert anim.sun_pitch_radians() == pytest.approx(math.pi / 2 + math.pi)
+
+
+def test_atmosphere_packed_sun_direction_skyspace():
+    # At noon the sun is straight up in engine space (-y), so sky space (+y up)
+    # has direction_to_sun = +y, incident = -y.
+    atmo = Atmosphere(sun_euler_angles=(math.pi / 2 + math.pi, 0.0, 0.0))
+    packed = atmo.packed()
+    np.testing.assert_allclose(
+        np.asarray(packed.incident_direction_sun), [0, -1, 0], atol=1e-6
+    )
+
+
+def test_moonlight_strength_clamp():
+    from syzygy_tpu.math.geometry import aabb_from_min_max
+    from syzygy_tpu.scene.atmosphere import _create_moonlight
+
+    bounds = aabb_from_min_max([-1, -1, -1], [1, 1, 1])
+    # far from sunset: strength saturates at 0.02
+    light = _create_moonlight(bounds, sun_cosine=1.0, sunset_cosine=0.06)
+    assert float(light.strength) == pytest.approx(0.02)
+    # at sunset: zero
+    light = _create_moonlight(bounds, sun_cosine=0.06, sunset_cosine=0.06)
+    assert float(light.strength) == pytest.approx(0.0)
+
+
+def test_instance_animations():
+    lib = TextureLibrary()
+    mat = register_default_textures(lib)
+    scene = Scene()
+    inst = scene.add_mesh_instance(
+        cube_mesh(mat),
+        "waver",
+        [TransformHost.make((1.0, 0.0, 2.0))],
+        animation=InstanceAnimation.DIAGONAL_WAVE,
+    )
+    spin = scene.add_mesh_instance(
+        cube_mesh(mat),
+        "spinner",
+        [TransformHost.make((0.0, 0.0, 0.0))],
+        animation=InstanceAnimation.SPIN_ALONG_WORLD_UP,
+    )
+    scene.tick(0.25)
+    expected_y = math.sin(0.25 + (1.0 + 10.0 + 2.0 + 10.0) / 3.1415)
+    assert inst.transforms[0].translation[1] == pytest.approx(expected_y, abs=1e-6)
+    assert spin.transforms[0].euler_angles[2] == pytest.approx(0.25)
+
+
+def test_pack_frame_params_is_fast():
+    import time
+
+    scene, _ = default_scene()
+    pack_frame_params(scene, 1.0)  # warm any caches
+    t0 = time.perf_counter()
+    for _ in range(20):
+        scene.tick(0.016)
+        pack_frame_params(scene, 1.0)
+    per_frame_ms = (time.perf_counter() - t0) / 20 * 1000
+    # Host packing must be a tiny fraction of the 16.6 ms frame budget
+    assert per_frame_ms < 5.0, f"pack_frame_params too slow: {per_frame_ms:.2f} ms"
+
+
+def test_camera_packed_inverse_consistency():
+    cam = Camera()
+    packed = cam.packed(1.5)
+    proj = np.asarray(packed.projection)
+    inv = np.asarray(packed.inverse_projection)
+    np.testing.assert_allclose(proj @ inv, np.eye(4), atol=1e-4)
+    pv_inv = np.asarray(packed.proj_view_inverse)
+    pv = proj @ np.asarray(packed.view)
+    np.testing.assert_allclose(pv @ pv_inv, np.eye(4), atol=1e-4)
+
+
+def test_camera_fly_input():
+    cam = Camera(position=(0.0, 0.0, 0.0), euler_angles=(0.0, 0.0, 0.0))
+    cam.handle_input(1.0, keys=frozenset("w"), speed=2.0)
+    np.testing.assert_allclose(cam.position, [0, 0, 2.0], atol=1e-6)
+    # yaw 90deg right then move forward -> +x
+    cam2 = Camera(position=(0.0, 0.0, 0.0), euler_angles=(0.0, 0.0, math.pi / 2))
+    cam2.handle_input(1.0, keys=frozenset("w"), speed=1.0)
+    np.testing.assert_allclose(cam2.position, [1.0, 0, 0], atol=1e-6)
