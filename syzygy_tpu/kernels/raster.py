@@ -1,0 +1,398 @@
+"""Tile-binned software rasterizer: the TPU replacement for Vulkan raster.
+
+The reference rasterizes through the hardware pipeline
+(``renderer/pipelines/deferred.cpp:503-713`` G-buffer pass,
+``renderer/pipelines.cpp:593-806`` shadow depth pass). On TPU this becomes:
+
+1. :func:`setup_triangles` (jnp, vectorized): clip-space vertices ->
+   near-plane clipping (each triangle may split in two), screen-space
+   barycentric linear forms, per-triangle bboxes, and a chunk x tile overlap
+   mask (the "binning-lite" that lets the kernel skip whole triangle chunks
+   per tile).
+2. :func:`rasterize` (Pallas): a visibility-buffer kernel over a
+   (tiles_y, tiles_x, chunks) grid. Each tile's depth/tri/bary block stays
+   resident in VMEM across the chunk axis; per triangle it evaluates the two
+   barycentric linear forms over the whole pixel tile on the VPU and performs
+   a reverse-Z GREATER_OR_EQUAL depth test (``deferred.cpp:549``).
+
+The raster emits only visibility (depth, clipped-triangle id, screen-space
+barycentrics); attribute interpolation and texturing happen in the vectorized
+resolve pass (``syzygy_tpu.kernels.resolve``) — the deferred-on-TPU split that
+keeps this kernel payload-free.
+
+Conventions: screen x right / y down, pixel centers at +0.5 (Vulkan), reverse-Z
+(1 near, 0 far), front faces are CW on screen => positive doubled area
+(``deferred.cpp:503-713``: CW front face, back-face cull).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from syzygy_tpu.kernels.common import cdiv, round_up, use_interpret
+
+TILE_H = 64
+TILE_W = 128
+CHUNK = 64
+
+W_CLIP_EPS = 1e-3  # near-plane clip guard in view-z units (w_clip = z_view)
+
+
+class TriSetup(NamedTuple):
+    """Screen-space triangle records after near-clip (capacity 2T)."""
+
+    coeffs: jnp.ndarray  # (T2, 12) f32, see _PACK below
+    orig_tri: jnp.ndarray  # (T2,) i32 -> original triangle id
+    corner_bary: jnp.ndarray  # (T2, 3, 2) f32: corners' (b0,b1) wrt original
+    chunk_mask: jnp.ndarray  # (chunks, tiles_y, tiles_x) i32 overlap mask
+    clip_w: jnp.ndarray  # (V,) f32 original vertex clip w (for perspective)
+
+
+# coeffs packing:
+# 0:alpha0 1:beta0 2:gamma0 | 3:alpha1 4:beta1 5:gamma1 | 6:z2 7:dz0 8:dz1
+# 9:valid (0/1) 10,11: unused (pad to 12 for clean VMEM rows)
+_COEFF_WIDTH = 12
+
+
+def _rotate_indices(rot):
+    """(r, r+1, r+2) mod 3 gather indices, shape (T, 3)."""
+    base = jnp.arange(3, dtype=jnp.int32)[None, :]
+    return (rot[:, None] + base) % 3
+
+
+def setup_triangles(
+    clip: jnp.ndarray,  # (V, 4) clip-space positions
+    triangles: jnp.ndarray,  # (T, 3) int32
+    tri_valid: jnp.ndarray,  # (T,) bool
+    width: int,
+    height: int,
+    cull_keep_sign: int,  # +1 keep CW/front (gbuffer), -1 keep CCW (shadow), 0 none
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = CHUNK,
+) -> TriSetup:
+    """Vectorized triangle setup with near-plane clipping.
+
+    Replaces the fixed-function clipper + triangle setup. Each input triangle
+    yields two slots (slot t and slot T+t); crossing triangles split into a
+    fan of <= 2, others leave slot 2 invalid.
+    """
+    tri_corner_clip = clip[triangles]  # (T, 3, 4)
+    w = tri_corner_clip[..., 3]  # (T, 3)
+    inside = w >= W_CLIP_EPS  # (T, 3)
+    n_in = inside.sum(axis=-1)  # (T,)
+
+    # Canonical rotation: n_in==1 -> inside vertex first; n_in==2 -> outside
+    # vertex first; else identity.
+    rot_one = jnp.argmax(inside, axis=-1).astype(jnp.int32)
+    rot_two = jnp.argmin(inside, axis=-1).astype(jnp.int32)
+    rot = jnp.where(n_in == 1, rot_one, jnp.where(n_in == 2, rot_two, 0))
+    gather = _rotate_indices(rot)  # (T, 3)
+
+    v = jnp.take_along_axis(tri_corner_clip, gather[..., None], axis=1)  # (T,3,4)
+    # original-triangle barycentric coords of the 3 original corners, rotated
+    eye_bary = jnp.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], jnp.float32)
+    vb = eye_bary[gather]  # (T, 3, 2)
+
+    wv = v[..., 3]
+    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+    b0c, b1c, b2c = vb[:, 0], vb[:, 1], vb[:, 2]
+
+    def lerp_to_plane(pa, pb, ba, bb):
+        t = (W_CLIP_EPS - pa[..., 3]) / jnp.where(
+            jnp.abs(pb[..., 3] - pa[..., 3]) < 1e-12,
+            1e-12,
+            pb[..., 3] - pa[..., 3],
+        )
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        return pa + t * (pb - pa), ba + t[..., 0:1] * (bb - ba)
+
+    i01, b01 = lerp_to_plane(v0, v1, b0c, b1c)
+    i02, b02 = lerp_to_plane(v0, v2, b0c, b2c)
+    i20, b20 = lerp_to_plane(v2, v0, b2c, b0c)
+
+    # Case n_in==3: A=(v0,v1,v2); n_in==1: A=(v0, i01, i02);
+    # n_in==2 (v0 outside): A=(i01, v1, v2), B=(i01, v2, i20)
+    def case_select(three, one, two):
+        return jnp.where(
+            (n_in == 3)[:, None, None],
+            three,
+            jnp.where((n_in == 1)[:, None, None], one, two),
+        )
+
+    tri_a = case_select(
+        jnp.stack([v0, v1, v2], 1),
+        jnp.stack([v0, i01, i02], 1),
+        jnp.stack([i01, v1, v2], 1),
+    )
+    bary_a = case_select(
+        jnp.stack([b0c, b1c, b2c], 1),
+        jnp.stack([b0c, b01, b02], 1),
+        jnp.stack([b01, b1c, b2c], 1),
+    )
+    tri_b = jnp.stack([i01, v2, i20], 1)
+    bary_b = jnp.stack([b01, b2c, b20], 1)
+
+    valid_in = tri_valid & (n_in > 0)
+    valid_a = valid_in
+    valid_b = tri_valid & (n_in == 2)
+
+    all_tris = jnp.concatenate([tri_a, tri_b], axis=0)  # (2T, 3, 4)
+    all_bary = jnp.concatenate([bary_a, bary_b], axis=0)  # (2T, 3, 2)
+    all_valid = jnp.concatenate([valid_a, valid_b], axis=0)  # (2T,)
+    n_t = triangles.shape[0]
+    orig_tri = jnp.concatenate(
+        [jnp.arange(n_t, dtype=jnp.int32), jnp.arange(n_t, dtype=jnp.int32)]
+    )
+
+    # Project to screen
+    w_all = jnp.maximum(all_tris[..., 3], W_CLIP_EPS * 0.5)
+    ndc = all_tris[..., :3] / w_all[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width  # (2T, 3)
+    sy = (ndc[..., 1] * 0.5 + 0.5) * height
+    sz = ndc[..., 2]
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+
+    if cull_keep_sign > 0:
+        facing = area2 > 0
+    elif cull_keep_sign < 0:
+        facing = area2 < 0
+    else:
+        facing = jnp.abs(area2) > 0
+    all_valid = all_valid & facing & (jnp.abs(area2) > 1e-12)
+
+    inv = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
+    # b0 from edge v1->v2, b1 from edge v2->v0 (normalized by signed area)
+    beta0 = -(y2 - y1) * inv
+    gamma0 = (x2 - x1) * inv
+    alpha0 = ((y2 - y1) * x1 - (x2 - x1) * y1) * inv
+    beta1 = -(y0 - y2) * inv
+    gamma1 = (x0 - x2) * inv
+    alpha1 = ((y0 - y2) * x2 - (x0 - x2) * y2) * inv
+    z2c = sz[:, 2]
+    dz0 = sz[:, 0] - sz[:, 2]
+    dz1 = sz[:, 1] - sz[:, 2]
+
+    t2 = all_tris.shape[0]
+    t2_pad = round_up(t2, chunk)
+    coeffs = jnp.zeros((t2_pad, _COEFF_WIDTH), jnp.float32)
+    coeffs = coeffs.at[:t2, 0].set(alpha0)
+    coeffs = coeffs.at[:t2, 1].set(beta0)
+    coeffs = coeffs.at[:t2, 2].set(gamma0)
+    coeffs = coeffs.at[:t2, 3].set(alpha1)
+    coeffs = coeffs.at[:t2, 4].set(beta1)
+    coeffs = coeffs.at[:t2, 5].set(gamma1)
+    coeffs = coeffs.at[:t2, 6].set(z2c)
+    coeffs = coeffs.at[:t2, 7].set(dz0)
+    coeffs = coeffs.at[:t2, 8].set(dz1)
+    coeffs = coeffs.at[:t2, 9].set(all_valid.astype(jnp.float32))
+
+    # chunk x tile overlap mask from screen bboxes
+    tiles_y = cdiv(height, tile_h)
+    tiles_x = cdiv(width, tile_w)
+    bb_min_x = jnp.where(all_valid, jnp.min(sx, axis=1), jnp.inf)
+    bb_max_x = jnp.where(all_valid, jnp.max(sx, axis=1), -jnp.inf)
+    bb_min_y = jnp.where(all_valid, jnp.min(sy, axis=1), jnp.inf)
+    bb_max_y = jnp.where(all_valid, jnp.max(sy, axis=1), -jnp.inf)
+
+    tx0 = jnp.clip(jnp.floor(bb_min_x / tile_w), 0, tiles_x).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bb_max_x / tile_w), -1, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(bb_min_y / tile_h), 0, tiles_y).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(bb_max_y / tile_h), -1, tiles_y - 1).astype(jnp.int32)
+
+    tx_range = jnp.arange(tiles_x, dtype=jnp.int32)
+    ty_range = jnp.arange(tiles_y, dtype=jnp.int32)
+    in_x = (tx_range[None, :] >= tx0[:, None]) & (tx_range[None, :] <= tx1[:, None])
+    in_y = (ty_range[None, :] >= ty0[:, None]) & (ty_range[None, :] <= ty1[:, None])
+    overlap = in_y[:, :, None] & in_x[:, None, :]  # (2T, TY, TX)
+    overlap = jnp.concatenate(
+        [
+            overlap,
+            jnp.zeros((t2_pad - t2, tiles_y, tiles_x), bool),
+        ],
+        axis=0,
+    )
+    chunk_mask = (
+        overlap.reshape(t2_pad // chunk, chunk, tiles_y, tiles_x)
+        .any(axis=1)
+        .astype(jnp.int32)
+    )
+
+    return TriSetup(
+        coeffs=coeffs,
+        orig_tri=jnp.concatenate(
+            [orig_tri, jnp.zeros(t2_pad - t2, jnp.int32)]
+        ),
+        corner_bary=jnp.concatenate(
+            [all_bary, jnp.zeros((t2_pad - t2, 3, 2), jnp.float32)], axis=0
+        ),
+        chunk_mask=chunk_mask,
+        clip_w=clip[..., 3],
+    )
+
+
+class VisibilityBuffer(NamedTuple):
+    depth: jnp.ndarray  # (H, W) f32, reverse-Z, 0 = background
+    tri: jnp.ndarray  # (H, W) i32 clipped-triangle id, -1 = background
+    b0: jnp.ndarray  # (H, W) f32 screen-space barycentric
+    b1: jnp.ndarray  # (H, W) f32
+
+
+def _raster_kernel(
+    mask_ref,  # SMEM, whole (chunks, tiles_y, tiles_x) i32 array
+    coeffs_ref,  # VMEM (CHUNK, 12) f32
+    depth_ref,
+    tri_ref,
+    b0_ref,
+    b1_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+    depth_only: bool,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _init():
+        depth_ref[:] = jnp.zeros_like(depth_ref)
+        if not depth_only:
+            tri_ref[:] = jnp.full_like(tri_ref, -1)
+            b0_ref[:] = jnp.zeros_like(b0_ref)
+            b1_ref[:] = jnp.zeros_like(b1_ref)
+
+    @pl.when(mask_ref[c, ty, tx] != 0)
+    def _work():
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+            jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+            jnp.float32
+        )
+        px = tx.astype(jnp.float32) * tile_w + col + 0.5
+        py = ty.astype(jnp.float32) * tile_h + row + 0.5
+
+        def body(t, _):
+            a0 = coeffs_ref[t, 0]
+            be0 = coeffs_ref[t, 1]
+            g0 = coeffs_ref[t, 2]
+            a1 = coeffs_ref[t, 3]
+            be1 = coeffs_ref[t, 4]
+            g1 = coeffs_ref[t, 5]
+            z2 = coeffs_ref[t, 6]
+            dz0 = coeffs_ref[t, 7]
+            dz1 = coeffs_ref[t, 8]
+            valid = coeffs_ref[t, 9]
+
+            bb0 = a0 + be0 * px + g0 * py
+            bb1 = a1 + be1 * px + g1 * py
+            bb2 = 1.0 - bb0 - bb1
+            z = z2 + dz0 * bb0 + dz1 * bb1
+
+            current = depth_ref[:]
+            hit = (
+                (bb0 >= 0.0)
+                & (bb1 >= 0.0)
+                & (bb2 >= 0.0)
+                & (z >= current)
+                & (z <= 1.0)
+                & (z >= 0.0)
+                & (valid > 0.0)
+            )
+            depth_ref[:] = jnp.where(hit, z, current)
+            if not depth_only:
+                tid = c * chunk + t
+                tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
+                b0_ref[:] = jnp.where(hit, bb0, b0_ref[:])
+                b1_ref[:] = jnp.where(hit, bb1, b1_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "chunk", "depth_only"),
+)
+def rasterize(
+    setup: TriSetup,
+    width: int,
+    height: int,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = CHUNK,
+    depth_only: bool = False,
+) -> VisibilityBuffer:
+    """Run the visibility kernel. width/height must be tile multiples."""
+    assert width % tile_w == 0 and height % tile_h == 0, (width, height)
+    tiles_y, tiles_x = height // tile_h, width // tile_w
+    n_chunks = setup.coeffs.shape[0] // chunk
+
+    kernel = functools.partial(
+        _raster_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        chunk=chunk,
+        depth_only=depth_only,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]
+    if not depth_only:
+        out_shape += [
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ]
+
+    tile_spec = pl.BlockSpec(
+        (tile_h, tile_w),
+        lambda ty, tx, c: (ty, tx),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [tile_spec] * len(out_shape)
+
+    grid_spec = pl.GridSpec(
+        grid=(tiles_y, tiles_x, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, _COEFF_WIDTH),
+                lambda ty, tx, c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_specs,
+    )
+
+    if depth_only:
+        # dummy refs for the unused outputs
+        def kernel_depth(mask_ref, coeffs_ref, depth_ref):
+            kernel(mask_ref, coeffs_ref, depth_ref, None, None, None)
+
+        (depth,) = pl.pallas_call(
+            kernel_depth,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=use_interpret(),
+        )(setup.chunk_mask, setup.coeffs)
+        empty = jnp.zeros((0, 0))
+        return VisibilityBuffer(depth=depth, tri=empty, b0=empty, b1=empty)
+
+    depth, tri, b0, b1 = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=use_interpret(),
+    )(setup.chunk_mask, setup.coeffs)
+    return VisibilityBuffer(depth=depth, tri=tri, b0=b0, b1=b1)
