@@ -1,0 +1,236 @@
+"""Deferred PBR lighting with PCF shadow maps.
+
+Port of ``shaders/deferred/lights.comp`` (per-pixel light accumulation),
+``shaders/gbuffer/pbrFunctions.glinl`` (BRDFs) and ``shaders/shadowmap.glinl``
+(5x5 PCF, reverse-Z compare, NEAREST + clamp-to-border sampling —
+``renderer/shadowpass.cpp:30-34``). All math is vectorized over the pixel
+grid; the per-light loops are static-capacity with ``lax.cond`` so inactive
+lights cost nothing.
+
+Shadow-map index convention follows ``lights.comp:139-161`` /
+``ShadowPassArray::recordInitialize`` (``shadowpass.cpp:188-248``): map k
+belongs to light k in the concatenation [directional..., spot...].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from syzygy_tpu.kernels.resolve import GBuffer
+from syzygy_tpu.scene.camera import CameraPacked
+from syzygy_tpu.scene.lights import DirectionalLight, SpotLight
+
+# mat4 TO_TEX_COORD_MAT (shadowmap.glinl:2-8), row-major math form
+TO_TEX_COORD = jnp.array(
+    [
+        [0.5, 0.0, 0.0, 0.5],
+        [0.0, 0.5, 0.0, 0.5],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ],
+    jnp.float32,
+)
+
+SPECULAR_POWER_BASE = 160.0  # pbrFunctions.glinl:5
+DIELECTRIC_F0 = 0.04  # pbrFunctions.glinl:7
+PI = 3.14159265359
+
+
+class PBRTexel(NamedTuple):
+    """``PBRTexel`` (``shaders/gbuffer/pbr.glinl``) over the pixel grid."""
+
+    position: jnp.ndarray  # (H, W, 3)
+    normal: jnp.ndarray  # (H, W, 3)
+    subscattering_color: jnp.ndarray  # (H, W, 3)
+    normal_reflectance: jnp.ndarray  # (H, W, 3)
+    occlusion: jnp.ndarray  # (H, W, 1)
+    specular_power: jnp.ndarray  # (H, W, 1)
+    metallic: jnp.ndarray  # (H, W, 1)
+
+
+def convert_pbr(gbuffer: GBuffer) -> PBRTexel:
+    """``convertPBRProperties`` (``pbrFunctions.glinl:3-20``)."""
+    spec_rgb = gbuffer.specular[..., :3]
+    max3 = jnp.max(spec_rgb, axis=-1, keepdims=True)
+    metallic_reflectance = 0.5 * spec_rgb / jnp.maximum(max3, 1e-8)
+    metallic = gbuffer.orm[..., 2:3]
+    roughness = gbuffer.orm[..., 1:2]
+    return PBRTexel(
+        position=gbuffer.world_position[..., :3],
+        normal=gbuffer.normal[..., :3],
+        subscattering_color=gbuffer.diffuse[..., :3],
+        normal_reflectance=DIELECTRIC_F0 * (1.0 - metallic)
+        + metallic_reflectance * metallic,
+        occlusion=gbuffer.orm[..., 0:1],
+        specular_power=jnp.power(SPECULAR_POWER_BASE, 1.0 - roughness),
+        metallic=metallic,
+    )
+
+
+def _normalize(v, eps=1e-20):
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+
+def _dot1(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def compute_fresnel(material: PBRTexel, light_dir, view_dir) -> jnp.ndarray:
+    """``computeFresnel`` (``pbrFunctions.glinl:22-32``), Schlick."""
+    halfway = _normalize(light_dir + view_dir)
+    hl = jnp.clip(_dot1(halfway, light_dir), 0.0, 1.0)
+    f0 = material.normal_reflectance
+    return f0 + (1.0 - f0) * jnp.power(1.0 - hl, 5.0)
+
+
+def diffuse_brdf(material: PBRTexel) -> jnp.ndarray:
+    """Lambert (``pbrFunctions.glinl:34-39``)."""
+    return material.subscattering_color / PI
+
+
+def specular_brdf(material: PBRTexel, light_dir, view_dir) -> jnp.ndarray:
+    """Normalized Blinn-Phong (``pbrFunctions.glinl:41-52``)."""
+    halfway = _normalize(light_dir + view_dir)
+    hn = jnp.clip(_dot1(halfway, material.normal), 0.0, 1.0)
+    spec_power = material.specular_power
+    microfacet = jnp.power(hn, spec_power)
+    normalization = (spec_power + 2.0) / 8.0
+    return jnp.broadcast_to(
+        normalization * microfacet, material.subscattering_color.shape
+    )
+
+
+def compute_shadow_frame(light_proj_view, position, normal):
+    """``computeShadowFrame`` (``shadowmap.glinl:17-30``)."""
+    m = TO_TEX_COORD @ light_proj_view  # (4, 4)
+    pos_h = jnp.concatenate(
+        [position, jnp.ones((*position.shape[:-1], 1), jnp.float32)], axis=-1
+    )
+    coord = pos_h @ m.T  # (H, W, 4)
+    coord = coord / jnp.where(jnp.abs(coord[..., 3:4]) < 1e-8, 1e-8, coord[..., 3:4])
+    n_h = jnp.concatenate([normal, jnp.zeros((*normal.shape[:-1], 1), jnp.float32)], axis=-1)
+    pn = n_h @ m.T
+    dx = jnp.sqrt(1.0 - jnp.clip(pn[..., 0] * pn[..., 0], 0.0, 1.0))
+    dy = jnp.sqrt(1.0 - jnp.clip(pn[..., 1] * pn[..., 1], 0.0, 1.0))
+    return coord, dx, dy
+
+
+def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
+    """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
+    clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor."""
+    size = shadow_map.shape[-1]
+    frag_depth = coord[..., 2]
+    du = 1.5 * dx / size
+    dv = 1.5 * dy / size
+    u = coord[..., 0]
+    v = coord[..., 1]
+
+    occluded = jnp.zeros_like(frag_depth)
+    for oy in range(-2, 3):
+        for ox in range(-2, 3):
+            su = u + ox * du
+            sv = v + oy * dv
+            ix = jnp.floor(su * size).astype(jnp.int32)
+            iy = jnp.floor(sv * size).astype(jnp.int32)
+            inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+            ixc = jnp.clip(ix, 0, size - 1)
+            iyc = jnp.clip(iy, 0, size - 1)
+            occ_depth = jnp.where(inside, shadow_map[iyc, ixc], 0.0)
+            occluded += jnp.where(
+                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
+            )
+    return 1.0 - occluded / 25.0
+
+
+def _light_contribution(material, view_dir, light_dir, spectral):
+    """``computeLightContribution`` (``lights.comp:93-108``)."""
+    diffuse = diffuse_brdf(material)
+    specular = specular_brdf(material, light_dir, view_dir)
+    fresnel = compute_fresnel(material, light_dir, view_dir)
+    brdf = diffuse * (1.0 - fresnel) + specular * fresnel
+    nl = jnp.clip(_dot1(material.normal, light_dir), 0.0, 1.0)
+    return material.occlusion * brdf * spectral * nl
+
+
+def deferred_lighting(
+    gbuffer: GBuffer,
+    camera: CameraPacked,
+    directional: DirectionalLight,  # stacked (D, ...)
+    directional_count: jnp.ndarray,
+    directional_skip: jnp.ndarray,
+    spots: SpotLight,  # stacked (S, ...)
+    spot_count: jnp.ndarray,
+    shadow_maps: jnp.ndarray,  # (D + S, dim, dim) f32 depth
+) -> jnp.ndarray:
+    """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
+
+    Background texels (diffuse alpha < 1) stay black; the sky pass fills them.
+    """
+    material = convert_pbr(gbuffer)
+    lit_mask = gbuffer.diffuse[..., 3:4] >= 1.0
+    view_dir = _normalize(
+        camera.position[:3] - material.position
+    )
+
+    h, w = gbuffer.diffuse.shape[:2]
+    total = jnp.zeros((h, w, 3), jnp.float32)
+
+    n_dir = directional.strength.shape[0]
+    for i in range(n_dir):
+        def dir_term(i=i):
+            light_pv = directional.projection[i] @ directional.view[i]
+            coord, dx, dy = compute_shadow_frame(
+                light_pv, material.position, material.normal
+            )
+            shadow = sample_shadow_map(shadow_maps[i], coord, dx, dy)
+            light_dir = _normalize(-directional.forward[i, :3])[None, None, :]
+            spectral = (
+                directional.color[i, :3] * directional.strength[i]
+            )[None, None, :] * shadow[..., None]
+            return _light_contribution(material, view_dir, light_dir, spectral)
+
+        active = (i >= directional_skip) & (i < directional_count)
+        total = total + jax.lax.cond(
+            active, dir_term, lambda: jnp.zeros_like(total)
+        )
+
+    n_spot = spots.strength.shape[0]
+    for j in range(n_spot):
+        def spot_term(j=j):
+            light_pv = spots.projection[j] @ spots.view[j]
+            coord, dx, dy = compute_shadow_frame(
+                light_pv, material.position, material.normal
+            )
+            shadow = sample_shadow_map(shadow_maps[n_dir + j], coord, dx, dy)
+            light_dir = _normalize(-spots.forward[j, :3])[None, None, :]
+            # quadratic falloff + UV edge softening (lights.comp:73-91)
+            dist = jnp.linalg.norm(
+                spots.position[j, :3] - material.position, axis=-1, keepdims=True
+            )
+            norm_dist = dist / spots.falloff_distance[j]
+            falloff = spots.falloff_factor[j] * norm_dist * norm_dist
+            uv_dist = jnp.clip(
+                jnp.linalg.norm(
+                    coord[..., :2] - 0.5, axis=-1, keepdims=True
+                )
+                / 0.5,
+                0.0,
+                1.0,
+            )
+            edge_soften = 1.0 - uv_dist * uv_dist
+            spectral = (
+                (spots.color[j, :3] * spots.strength[j])[None, None, :]
+                / jnp.maximum(falloff, 1e-8)
+                * edge_soften
+                * shadow[..., None]
+            )
+            return _light_contribution(material, view_dir, light_dir, spectral)
+
+        total = total + jax.lax.cond(
+            j < spot_count, spot_term, lambda: jnp.zeros_like(total)
+        )
+
+    return jnp.where(lit_mask, total, 0.0)

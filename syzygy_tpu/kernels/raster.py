@@ -50,8 +50,8 @@ class TriSetup(NamedTuple):
     coeffs: jnp.ndarray  # (T2, 12) f32, see _PACK below
     orig_tri: jnp.ndarray  # (T2,) i32 -> original triangle id
     corner_bary: jnp.ndarray  # (T2, 3, 2) f32: corners' (b0,b1) wrt original
+    corner_w: jnp.ndarray  # (T2, 3) f32 clip w of this (possibly clipped) tri
     chunk_mask: jnp.ndarray  # (chunks, tiles_y, tiles_x) i32 overlap mask
-    clip_w: jnp.ndarray  # (V,) f32 original vertex clip w (for perspective)
 
 
 # coeffs packing:
@@ -76,13 +76,21 @@ def setup_triangles(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     chunk: int = CHUNK,
+    grid_width: int | None = None,
+    grid_height: int | None = None,
 ) -> TriSetup:
     """Vectorized triangle setup with near-plane clipping.
 
     Replaces the fixed-function clipper + triangle setup. Each input triangle
     yields two slots (slot t and slot T+t); crossing triangles split into a
     fan of <= 2, others leave slot 2 invalid.
+
+    ``width``/``height`` define the viewport (NDC -> pixel mapping, the
+    reference's sceneSubregion extent); ``grid_width``/``grid_height`` the
+    padded raster target the tile mask covers (default: rounded up to tiles).
     """
+    grid_width = round_up(width, tile_w) if grid_width is None else grid_width
+    grid_height = round_up(height, tile_h) if grid_height is None else grid_height
     tri_corner_clip = clip[triangles]  # (T, 3, 4)
     w = tri_corner_clip[..., 3]  # (T, 3)
     inside = w >= W_CLIP_EPS  # (T, 3)
@@ -197,8 +205,8 @@ def setup_triangles(
     coeffs = coeffs.at[:t2, 9].set(all_valid.astype(jnp.float32))
 
     # chunk x tile overlap mask from screen bboxes
-    tiles_y = cdiv(height, tile_h)
-    tiles_x = cdiv(width, tile_w)
+    tiles_y = cdiv(grid_height, tile_h)
+    tiles_x = cdiv(grid_width, tile_w)
     bb_min_x = jnp.where(all_valid, jnp.min(sx, axis=1), jnp.inf)
     bb_max_x = jnp.where(all_valid, jnp.max(sx, axis=1), -jnp.inf)
     bb_min_y = jnp.where(all_valid, jnp.min(sy, axis=1), jnp.inf)
@@ -235,8 +243,10 @@ def setup_triangles(
         corner_bary=jnp.concatenate(
             [all_bary, jnp.zeros((t2_pad - t2, 3, 2), jnp.float32)], axis=0
         ),
+        corner_w=jnp.concatenate(
+            [w_all, jnp.ones((t2_pad - t2, 3), jnp.float32)], axis=0
+        ),
         chunk_mask=chunk_mask,
-        clip_w=clip[..., 3],
     )
 
 

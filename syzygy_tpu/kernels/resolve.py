@@ -1,0 +1,191 @@
+"""G-buffer resolve: visibility buffer -> shaded attribute planes.
+
+The TPU half of the reference's G-buffer fragment work
+(``shaders/deferred/offscreen.vert`` + ``offscreen.frag``): where Vulkan
+interpolates attributes per fragment in hardware, here a vectorized jnp pass
+gathers per-pixel triangle attributes through the visibility buffer's tri id,
+applies perspective-correct barycentric interpolation, samples material
+textures (bilinear + REPEAT), and perturbs normals with an analytic
+cotangent frame (replacing dFdx/dFdy, ``offscreen.frag:25-59`` — screen
+derivatives of affine per-triangle attributes equal the triangle-edge
+solution, so the frame is computed from world/UV edge deltas instead).
+
+G-buffer layout mirrors ``renderer/gbuffer.cpp:27-44``: diffuse, specular,
+normal, worldPosition, occlusionRoughnessMetallic; background texels have
+diffuse alpha 0 (< 1 marks background in ``deferred/lights.comp:126-129``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from syzygy_tpu.kernels.raster import TriSetup, VisibilityBuffer
+from syzygy_tpu.scene.pack import FrameState, GeometryStatic
+
+
+class GBuffer(NamedTuple):
+    """5-plane G-buffer (``renderer/gbuffer.cpp:27-44``)."""
+
+    diffuse: jnp.ndarray  # (H, W, 4)
+    specular: jnp.ndarray  # (H, W, 4)
+    normal: jnp.ndarray  # (H, W, 4)
+    world_position: jnp.ndarray  # (H, W, 4)
+    orm: jnp.ndarray  # (H, W, 4)
+
+
+def transform_positions(
+    positions: jnp.ndarray,  # (V, 3) object space
+    vert_instance: jnp.ndarray,  # (V,) i32
+    models: jnp.ndarray,  # (I, 4, 4)
+    proj_view: jnp.ndarray,  # (4, 4)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Vertex stage (``offscreen.vert:41-51``): world + clip positions."""
+    m = models[vert_instance]  # (V, 4, 4)
+    pos_h = jnp.concatenate(
+        [positions, jnp.ones((*positions.shape[:-1], 1), jnp.float32)], axis=-1
+    )
+    world = jnp.einsum("vij,vj->vi", m, pos_h)  # (V, 4)
+    clip = world @ proj_view.T  # (V, 4)
+    return clip, world[..., :3]
+
+
+def transform_normals(
+    normals: jnp.ndarray,
+    vert_instance: jnp.ndarray,
+    model_inv_transpose: jnp.ndarray,
+) -> jnp.ndarray:
+    """``offscreen.vert:53``: normalize((modelInverseTranspose * n).xyz)."""
+    m = model_inv_transpose[vert_instance][..., :3, :3]
+    n = jnp.einsum("vij,vj->vi", m, normals)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+
+def sample_bilinear_repeat(
+    tex_ids: jnp.ndarray,  # (...,) i32 into the texture array
+    textures: jnp.ndarray,  # (N, S, S, 4)
+    uv: jnp.ndarray,  # (..., 2)
+) -> jnp.ndarray:
+    """Bilinear + REPEAT sampling from the texture array (descriptor-set
+    replacement). All taps are vectorized gathers."""
+    size = textures.shape[1]
+    p = uv * size - 0.5
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = jnp.mod(p0.astype(jnp.int32), size)
+    i1 = jnp.mod(i0 + 1, size)
+    x0, y0 = i0[..., 0], i0[..., 1]
+    x1, y1 = i1[..., 0], i1[..., 1]
+    fx, fy = frac[..., 0:1], frac[..., 1:2]
+
+    t00 = textures[tex_ids, y0, x0]
+    t10 = textures[tex_ids, y0, x1]
+    t01 = textures[tex_ids, y1, x0]
+    t11 = textures[tex_ids, y1, x1]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _cotangent_frame_normal(
+    n: jnp.ndarray,  # (H, W, 3) interpolated vertex normal
+    dp1: jnp.ndarray,  # (H, W, 3) triangle world edge 1
+    dp2: jnp.ndarray,  # (H, W, 3) triangle world edge 2
+    duv1: jnp.ndarray,  # (H, W, 2)
+    duv2: jnp.ndarray,  # (H, W, 2)
+    normal_map: jnp.ndarray,  # (H, W, 3) decoded tangent-space normal
+) -> jnp.ndarray:
+    """``cotangentFrame`` + ``perturbNormal`` (``offscreen.frag:25-59``)."""
+    dp2perp = jnp.cross(dp2, n)
+    dp1perp = jnp.cross(n, dp1)
+    t = dp2perp * duv1[..., 0:1] + dp1perp * duv2[..., 0:1]
+    b = dp2perp * duv1[..., 1:2] + dp1perp * duv2[..., 1:2]
+    invmax = 1.0 / jnp.sqrt(
+        jnp.maximum(
+            jnp.maximum(
+                jnp.sum(t * t, axis=-1, keepdims=True),
+                jnp.sum(b * b, axis=-1, keepdims=True),
+            ),
+            1e-20,
+        )
+    )
+    perturbed = (
+        t * invmax * normal_map[..., 0:1]
+        + b * invmax * normal_map[..., 1:2]
+        + n * normal_map[..., 2:3]
+    )
+    return perturbed / jnp.maximum(
+        jnp.linalg.norm(perturbed, axis=-1, keepdims=True), 1e-20
+    )
+
+
+def resolve_gbuffer(
+    vis: VisibilityBuffer,
+    setup: TriSetup,
+    geometry: GeometryStatic,
+    world_positions: jnp.ndarray,  # (V, 3)
+    world_normals: jnp.ndarray,  # (V, 3)
+) -> GBuffer:
+    """Visibility buffer -> 5 G-buffer planes (one big gather pass)."""
+    valid = vis.tri >= 0  # (H, W)
+    tid = jnp.maximum(vis.tri, 0)
+
+    orig = setup.orig_tri[tid]  # (H, W)
+    corner = setup.corner_bary[tid]  # (H, W, 3, 2)
+    corner_w = setup.corner_w[tid]  # (H, W, 3)
+
+    sb = jnp.stack([vis.b0, vis.b1, 1.0 - vis.b0 - vis.b1], axis=-1)  # (H,W,3)
+    # 1) perspective-correct weights wrt the (possibly clipped) raster triangle
+    pc = sb / jnp.maximum(corner_w, 1e-8)
+    pc = pc / jnp.maximum(jnp.sum(pc, axis=-1, keepdims=True), 1e-20)
+    # 2) map to ORIGINAL-triangle weights through the clip-space corner bary
+    #    (affine in object space, so attributes interpolate linearly in them)
+    ob01 = jnp.einsum("hwk,hwkc->hwc", pc, corner)  # (H, W, 2)
+    pw = jnp.concatenate(
+        [ob01, 1.0 - ob01[..., 0:1] - ob01[..., 1:2]], axis=-1
+    )  # (H, W, 3)
+
+    idx = geometry.triangles[orig]  # (H, W, 3)
+
+    def interp(attr):  # attr: (V, C) -> (H, W, C)
+        vals = attr[idx]  # (H, W, 3, C)
+        return jnp.einsum("hwk,hwkc->hwc", pw, vals)
+
+    position = interp(world_positions)
+    normal_geo = interp(world_normals)
+    normal_geo = normal_geo / jnp.maximum(
+        jnp.linalg.norm(normal_geo, axis=-1, keepdims=True), 1e-20
+    )
+    uv = interp(geometry.uvs)
+
+    mat = geometry.materials[geometry.tri_material[orig]]  # (H, W, 3)
+    color_tex = sample_bilinear_repeat(mat[..., 0], geometry.textures, uv)
+    normal_tex = sample_bilinear_repeat(mat[..., 1], geometry.textures, uv)
+    orm_tex = sample_bilinear_repeat(mat[..., 2], geometry.textures, uv)
+
+    # Normal map decode (offscreen.frag:50-55): unsigned -> signed, green-up
+    nmap = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
+    nmap = nmap * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+
+    # per-original-triangle world/uv edges for the analytic cotangent frame
+    v0, v1, v2 = idx[..., 0], idx[..., 1], idx[..., 2]
+    dp1 = world_positions[v1] - world_positions[v0]
+    dp2 = world_positions[v2] - world_positions[v0]
+    duv1 = geometry.uvs[v1] - geometry.uvs[v0]
+    duv2 = geometry.uvs[v2] - geometry.uvs[v0]
+    normal = _cotangent_frame_normal(normal_geo, dp1, dp2, duv1, duv2, nmap)
+
+    valid_f = valid[..., None].astype(jnp.float32)
+
+    def plane(rgb, alpha):
+        return jnp.concatenate([rgb, alpha], axis=-1) * valid_f
+
+    ones = jnp.ones((*valid.shape, 1), jnp.float32)
+    return GBuffer(
+        diffuse=plane(color_tex[..., :3], ones),
+        specular=plane(color_tex[..., :3], ones),
+        normal=plane(normal, jnp.zeros_like(ones)),
+        world_position=plane(position, ones),
+        orm=plane(orm_tex[..., :3], ones),
+    )

@@ -1,0 +1,297 @@
+"""Sky/ground/aerial-perspective camera pass (port of ``camera.comp``).
+
+Consumes the lit scene color, depth, G-buffer, sun shadow map and the two
+atmosphere LUTs; produces the final pre-OETF color including the reference's
+ad-hoc ``pow(10 * luminance * sunIntensity + surfaceLuminance, 1.2)`` tonemap
+(``camera.comp:389-393``). All branches are computed as masked lanes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from syzygy_tpu.kernels.atmosphere import (
+    METERS_PER_MM,
+    PI,
+    luminance_scattering_integral,
+    ray_sphere_intersect,
+    safe_sqrt,
+    sample_lut_bilinear,
+    sample_transmittance_ray,
+    sample_transmittance_segment,
+)
+from syzygy_tpu.kernels.lighting import (
+    PBRTexel,
+    compute_fresnel,
+    compute_shadow_frame,
+    convert_pbr,
+    diffuse_brdf,
+    sample_shadow_map,
+    specular_brdf,
+    _dot1,
+    _normalize,
+)
+from syzygy_tpu.kernels.resolve import GBuffer
+from syzygy_tpu.scene.atmosphere import AtmospherePacked
+from syzygy_tpu.scene.camera import CameraPacked
+from syzygy_tpu.scene.lights import DirectionalLight
+
+
+def sample_skyview(atmo: AtmospherePacked, skyview_lut, position, direction):
+    """``sampleMap_Direction`` (``camera.comp:70-121``)."""
+    normalized = direction / _norm3(direction)
+    sin_horizon = atmo.planet_radius_mm / _norm3(position)[..., 0]
+    horizon_zenith = PI - jnp.arcsin(jnp.clip(sin_horizon, -1.0, 1.0))
+    cos_view_zenith = normalized[..., 1]
+    cos_horizon_zenith = -safe_sqrt(1.0 - sin_horizon * sin_horizon)
+    view_zenith = jnp.arccos(jnp.clip(normalized[..., 1], -1.0, 1.0))
+
+    above = cos_view_zenith > cos_horizon_zenith
+    frac_above = view_zenith / jnp.maximum(horizon_zenith, 1e-12)
+    v_above = (1.0 - safe_sqrt(1.0 - frac_above)) * 0.5
+    frac_below = (view_zenith - horizon_zenith) / jnp.maximum(
+        PI - horizon_zenith, 1e-12
+    )
+    v_below = safe_sqrt(frac_below) * 0.5 + 0.5
+    v = jnp.where(above, v_above, v_below)
+
+    light_proj = -jnp.stack(
+        [atmo.incident_direction_sun[0], atmo.incident_direction_sun[2]]
+    )
+    light_proj = light_proj / jnp.maximum(jnp.linalg.norm(light_proj), 1e-12)
+    view_proj = jnp.stack([direction[..., 0], direction[..., 2]], axis=-1)
+    view_proj = view_proj / jnp.maximum(
+        jnp.linalg.norm(view_proj, axis=-1, keepdims=True), 1e-12
+    )
+    u = (
+        jnp.clip(
+            light_proj[0] * view_proj[..., 0] + light_proj[1] * view_proj[..., 1],
+            -1.0,
+            1.0,
+        )
+        * 0.5
+        + 0.5
+    )
+    return sample_lut_bilinear(skyview_lut, u, v)
+
+
+def _norm3(v):
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-20))
+
+
+def sample_sun_disk(atmo, transmittance_lut, position, direction):
+    """``sampleSunDisk`` (``camera.comp:123-140``)."""
+    to_sun = -atmo.incident_direction_sun
+    cos_dir_sun = jnp.sum(direction * to_sun, axis=-1) / (
+        _norm3(direction)[..., 0] * jnp.linalg.norm(to_sun)
+    )
+    sin_sun_radius = atmo.sun_angular_radius
+    sin_dir_sun = safe_sqrt(1.0 - cos_dir_sun * cos_dir_sun)
+    transmittance = sample_transmittance_ray(
+        transmittance_lut, atmo, position, direction
+    )
+    edge0 = 0.2 * sin_sun_radius
+    edge1 = sin_sun_radius
+    t = jnp.clip((sin_dir_sun - edge0) / jnp.maximum(edge1 - edge0, 1e-12), 0.0, 1.0)
+    smooth = t * t * (3.0 - 2.0 * t)
+    disk = transmittance * (1.0 - smooth)[..., None]
+    return jnp.where((cos_dir_sun < 0.0)[..., None], 0.0, disk)
+
+
+def fraction_of_sun_visible(atmo, radius):
+    """``computeFractionOfSunVisible`` (``camera.comp:142-147``) — the
+    reference early-returns sinHorizonZenith; reproduced."""
+    return atmo.planet_radius_mm / radius
+
+
+def _hit_planet(atmo, origin, direction):
+    hit, t0, _ = ray_sphere_intersect(origin, direction, atmo.planet_radius_mm)
+    return hit & (t0 > 0.0), t0
+
+
+def sample_ground(atmo, transmittance_lut, origin, direction, dist):
+    """``sampleGround`` (``camera.comp:203-235``)."""
+    surface = origin + dist[..., None] * direction
+    surface_normal = surface / _norm3(surface)
+    light_dir = -atmo.incident_direction_sun
+    view_dir = -direction
+    halfway = _normalize(light_dir + view_dir)
+    spec_power = 160.0
+    microfacet = jnp.power(
+        jnp.clip(_dot1(halfway, surface_normal), 0.0, 1.0), spec_power
+    )
+    specular = (spec_power + 2.0) / 8.0 * microfacet
+    diffuse = 0.4 / PI
+    fresnel = 0.04 + (1.0 - 0.04) * jnp.power(
+        1.0 - jnp.clip(_dot1(halfway, light_dir), 0.0, 1.0), 5.0
+    )
+    albedo = diffuse * (1.0 - fresnel) + specular * fresnel
+    t_sun = sample_transmittance_ray(
+        transmittance_lut, atmo, surface, jnp.broadcast_to(light_dir, surface.shape)
+    )
+    nl = jnp.clip(
+        jnp.sum(surface_normal * light_dir, axis=-1, keepdims=True), 0.0, 1.0
+    )
+    surface_lum = t_sun * albedo * nl
+    t_surface = sample_transmittance_segment(transmittance_lut, atmo, origin, surface)
+    aerial = luminance_scattering_integral(
+        atmo, transmittance_lut, origin, direction, dist
+    )
+    return surface_lum * t_surface + aerial
+
+
+def sample_environment(atmo, transmittance_lut, skyview_lut, position, direction):
+    """``sampleEnvironmentLuminanceTransfer`` (``camera.comp:286-301``)
+    (the sunShadowFactor multiplies only the sun disk at the call sites)."""
+    hit, dist = _hit_planet(atmo, position, direction)
+    ground = sample_ground(atmo, transmittance_lut, position, direction, dist)
+    sky = sample_skyview(atmo, skyview_lut, position, direction)
+    disk = sample_sun_disk(atmo, transmittance_lut, position, direction)
+    return jnp.where(hit[..., None], ground, sky), jnp.where(
+        hit[..., None], 0.0, disk
+    )
+
+
+def geometry_luminance_transfer(
+    atmo, transmittance_lut, origin, direction, material_pos, material: PBRTexel,
+    shadow_factor,
+):
+    """``computeGeometryLuminanceTransfer`` (``camera.comp:237-278``)."""
+    surface = material_pos
+    t_surface = sample_transmittance_segment(transmittance_lut, atmo, origin, surface)
+    light_dir = _normalize(-atmo.incident_direction_sun)[None, None, :]
+    view_dir = -direction / _norm3(direction)
+    shadowed_by_planet, _ = _hit_planet(
+        atmo, surface, jnp.broadcast_to(light_dir, surface.shape)
+    )
+    diffuse = diffuse_brdf(material)
+    specular = specular_brdf(material, light_dir, view_dir)
+    fresnel = compute_fresnel(material, light_dir, view_dir)
+    t_sun = sample_transmittance_ray(
+        transmittance_lut, atmo, surface, jnp.broadcast_to(light_dir, surface.shape)
+    )
+    frac_visible = fraction_of_sun_visible(atmo, _norm3(material_pos)[..., 0])
+    nl = jnp.clip(_dot1(material.normal, light_dir), 0.0, 1.0)
+    surface_transfer = (
+        shadow_factor[..., None]
+        * frac_visible[..., None]
+        * (~shadowed_by_planet)[..., None].astype(jnp.float32)
+        * t_sun
+        * t_surface
+        * material.occlusion
+        * (diffuse * (1.0 - fresnel) + specular * fresnel)
+        * nl
+    )
+    dist = jnp.linalg.norm(surface - origin, axis=-1)
+    aerial = luminance_scattering_integral(
+        atmo, transmittance_lut, origin, direction, dist
+    )
+    return surface_transfer + aerial
+
+
+def reflect_direction(normal, outgoing):
+    """``reflectDirection`` (``camera.comp:280-284``)."""
+    parallel = _dot1(normal, outgoing) * normal
+    return 2.0 * parallel - outgoing
+
+
+def sky_camera_pass(
+    scene_color: jnp.ndarray,  # (H, W, 3) lit geometry (surfaceLuminance src)
+    scene_depth: jnp.ndarray,  # (H, W)
+    gbuffer: GBuffer,
+    camera: CameraPacked,
+    atmo: AtmospherePacked,
+    transmittance_lut: jnp.ndarray,
+    skyview_lut: jnp.ndarray,
+    sun_light: DirectionalLight,  # single (row 0 of the stacked lights)
+    sun_shadow_map: jnp.ndarray,  # (dim, dim)
+    draw_extent: tuple[int, int] | None = None,  # (w, h) viewport for rays
+) -> jnp.ndarray:
+    """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
+    h, w = scene_depth.shape
+    draw_w, draw_h = draw_extent if draw_extent is not None else (w, h)
+
+    # Engine (+y down, meters) -> sky space (+y up, Mm) (camera.comp:318-322)
+    position = camera.position[:3] / METERS_PER_MM
+    position = position * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+    position = position + jnp.array([0.0, atmo.planet_radius_mm, 0.0], jnp.float32)
+
+    # Per-pixel view ray (camera.comp:324-328); integer pixel / drawExtent
+    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] / draw_w - 0.5) * 2.0
+    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] / draw_h - 0.5) * 2.0
+    clip_uv = jnp.stack(
+        [jnp.broadcast_to(xs, (h, w)), jnp.broadcast_to(ys, (h, w))], axis=-1
+    )
+    near_depth = jnp.ones((h, w, 1), jnp.float32)
+    ones = jnp.ones((h, w, 1), jnp.float32)
+    view_h = jnp.concatenate([clip_uv, near_depth, ones], axis=-1) @ (
+        camera.inverse_projection.T
+    )
+    direction = (view_h @ camera.rotation.T)[..., :3]
+    direction = direction / _norm3(direction)
+    direction = direction * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+
+    material = convert_pbr(gbuffer)
+
+    # Sky-space material (camera.comp:371-374)
+    flip = jnp.array([1.0, -1.0, 1.0], jnp.float32)
+    sky_material_pos = (
+        material.position * flip / METERS_PER_MM
+        + jnp.array([0.0, atmo.planet_radius_mm, 0.0], jnp.float32)
+    )
+    sky_material = material._replace(
+        normal=material.normal * flip, position=sky_material_pos
+    )
+
+    pos_grid = jnp.broadcast_to(position, direction.shape)
+
+    # Branch A: background / underground -> environment (camera.comp:354-361)
+    env, disk = sample_environment(
+        atmo, transmittance_lut, skyview_lut, pos_grid, direction
+    )
+    env_transfer = env + disk  # shadowFactor = 1 on this branch
+
+    # Branch B: geometry (camera.comp:362-387)
+    sun_pv = sun_light.projection @ sun_light.view
+    coord, dx, dy = compute_shadow_frame(
+        sun_pv, material.position, material.normal
+    )
+    sun_shadow = sample_shadow_map(sun_shadow_map, coord, dx, dy)
+    geo_transfer = geometry_luminance_transfer(
+        atmo,
+        transmittance_lut,
+        pos_grid,
+        direction,
+        sky_material.position,
+        sky_material,
+        sun_shadow,
+    )
+    # ad-hoc single-bounce metallic reflection (camera.comp:379-387)
+    t_surface = sample_transmittance_segment(
+        transmittance_lut, atmo, pos_grid, sky_material.position
+    )
+    refl_dir = reflect_direction(sky_material.normal, -direction)
+    refl_env, refl_disk = sample_environment(
+        atmo, transmittance_lut, skyview_lut, sky_material.position, refl_dir
+    )
+    refl = refl_env + refl_disk * sun_shadow[..., None]
+    geo_transfer = geo_transfer + (
+        t_surface
+        * sky_material.metallic
+        * compute_fresnel(sky_material, -direction, refl_dir)
+        * refl
+    )
+
+    # Branch select: background or underground -> environment
+    # (GBuffer +y down: material.position.y > 0 means below ground)
+    is_env = (scene_depth == 0.0) | (material.position[..., 1] > 0.0)
+    transfer = jnp.where(is_env[..., None], env_transfer, geo_transfer)
+    surface_luminance = jnp.where(
+        is_env[..., None], 0.0, scene_color
+    )
+
+    luminance = transfer * atmo.sun_intensity_spectrum
+    color = jnp.power(
+        jnp.maximum(luminance * 10.0 + surface_luminance, 0.0), 1.2
+    )
+    return color

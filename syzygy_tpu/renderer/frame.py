@@ -1,0 +1,225 @@
+"""The frame graph: one jitted function from scene state to final image.
+
+TPU equivalent of ``Renderer::recordDraw`` (``renderer/renderer.cpp:278-443``)
++ ``DeferredShadingPipeline::recordDrawCommands`` (``deferred.cpp:435-792``)
++ ``SkyViewComputePipeline::recordDrawCommands`` (``skyview.cpp:751-911``)
++ the OETF dispatch (``editor/editor.cpp:303-340``). Vulkan's command buffer,
+barriers and image layout transitions all collapse into XLA dataflow: every
+pass is a pure function and the compiler orders/fuses them.
+
+Pass order per frame (all inside one jit):
+  prepare_frame_state -> vertex transform -> shadow depth rasters (vmapped
+  over lights) -> camera raster -> G-buffer resolve -> deferred lighting ->
+  transmittance LUT -> sky-view LUT -> sky camera pass -> OETF.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from syzygy_tpu.kernels.atmosphere import (
+    METERS_PER_MM,
+    compute_skyview_lut,
+    compute_transmittance_lut,
+)
+from syzygy_tpu.kernels.lighting import deferred_lighting
+from syzygy_tpu.kernels.raster import TILE_H, TILE_W, rasterize, setup_triangles
+from syzygy_tpu.kernels.resolve import (
+    resolve_gbuffer,
+    transform_normals,
+    transform_positions,
+)
+from syzygy_tpu.kernels.sky import sky_camera_pass
+from syzygy_tpu.kernels.transfer import oetf_pure_gamma, oetf_srgb
+from syzygy_tpu.kernels.common import round_up
+from syzygy_tpu.scene.lights import MAX_SPOT_LIGHTS
+from syzygy_tpu.scene.pack import (
+    FrameParams,
+    FrameState,
+    GeometryStatic,
+    prepare_frame_state,
+)
+
+N_DIRECTIONAL = 2  # sun + moon (renderer.cpp:311-328)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static frame configuration (hashable: used as a jit static arg).
+
+    Counterpart of the reference's compile-time constants + UI config
+    (``editor/editorconfig.hpp``, ``deferred.hpp:108-118``).
+    """
+
+    width: int = 1920
+    height: int = 1080
+    shadow_dim: int = 1024  # ref: 8192 (deferred.cpp:179); scaled for HBM
+    n_shadow_maps: int = N_DIRECTIONAL + MAX_SPOT_LIGHTS
+    skyview_width: int = 2048  # skyview.cpp:175
+    skyview_height: int = 1024
+    render_atmosphere: bool = True
+    oetf: str = "srgb"  # GammaTransferFunction (editorconfig.hpp:5-9)
+
+    @property
+    def padded_width(self) -> int:
+        return round_up(self.width, TILE_W)
+
+    @property
+    def padded_height(self) -> int:
+        return round_up(self.height, TILE_H)
+
+
+def _shadow_pass(
+    geometry: GeometryStatic,
+    world_h: jnp.ndarray,  # (V, 4) world positions (homogeneous)
+    state: FrameState,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Depth-only raster per shadow-casting light, vmapped over the light axis
+    (``ShadowPassArray::recordDrawCommands`` + ``OffscreenPassGraphicsPipeline``,
+    ``pipelines.cpp:593-806``: front-face culling, reverse-Z)."""
+    dim = config.shadow_dim
+    n_maps = config.n_shadow_maps
+
+    # light projView stack: [sun, moon, spots...]
+    dir_pv = jnp.einsum(
+        "lij,ljk->lik", state.directional_lights.projection, state.directional_lights.view
+    )
+    spot_pv = jnp.einsum(
+        "lij,ljk->lik", state.spot_lights.projection, state.spot_lights.view
+    )
+    pv = jnp.concatenate([dir_pv, spot_pv], axis=0)[:n_maps]  # (L, 4, 4)
+
+    light_index = jnp.arange(n_maps)
+    active = light_index < (N_DIRECTIONAL + state.spot_count)
+
+    tri_valid = geometry.tri_valid & geometry.tri_casts_shadow
+
+    def one_light(light_pv, is_active):
+        clip = world_h @ light_pv.T  # (V, 4)
+        setup = setup_triangles(
+            clip,
+            geometry.triangles,
+            tri_valid & is_active,
+            dim,
+            dim,
+            cull_keep_sign=-1,  # front-face culling (pipelines.cpp:654-663)
+            tile_h=TILE_H,
+            tile_w=TILE_W,
+        )
+        return rasterize(setup, dim, dim, depth_only=True).depth
+
+    return jax.vmap(one_light)(pv, active)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_frame(
+    geometry: GeometryStatic, params: FrameParams, config: RenderConfig
+) -> jnp.ndarray:
+    """Scene state -> (height, width, 3) nonlinear-encoded image in [0, 1]."""
+    state = prepare_frame_state(params)
+    w_pad, h_pad = config.padded_width, config.padded_height
+
+    # --- vertex stage (offscreen.vert) -------------------------------------
+    proj_view = state.camera.projection @ state.camera.view
+    clip, world = transform_positions(
+        geometry.positions, geometry.vert_instance, state.models, proj_view
+    )
+    world_normals = transform_normals(
+        geometry.normals, geometry.vert_instance, state.model_inv_transpose
+    )
+    world_h = jnp.concatenate(
+        [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
+    )
+
+    # --- shadow maps -------------------------------------------------------
+    shadow_maps = _shadow_pass(geometry, world_h, state, config)
+    # pad the map array up to all lights the lighting loop may index
+    total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
+    if shadow_maps.shape[0] < total_lights:
+        shadow_maps = jnp.concatenate(
+            [
+                shadow_maps,
+                jnp.zeros(
+                    (
+                        total_lights - shadow_maps.shape[0],
+                        config.shadow_dim,
+                        config.shadow_dim,
+                    ),
+                    jnp.float32,
+                ),
+            ],
+            axis=0,
+        )
+
+    # --- G-buffer raster + resolve (deferred.cpp:503-713) ------------------
+    setup = setup_triangles(
+        clip,
+        geometry.triangles,
+        geometry.tri_valid,
+        config.width,
+        config.height,
+        cull_keep_sign=+1,  # back-face cull, CW front
+        grid_width=w_pad,
+        grid_height=h_pad,
+    )
+    vis = rasterize(setup, w_pad, h_pad)
+    gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
+
+    # --- deferred lighting (lights.comp) -----------------------------------
+    lit = deferred_lighting(
+        gbuffer,
+        state.camera,
+        state.directional_lights,
+        state.directional_count,
+        state.directional_skip_count,
+        state.spot_lights,
+        state.spot_count,
+        shadow_maps,
+    )
+    # scene color texture is R16G16B16A16_UNORM: clamps on write
+    lit = jnp.clip(lit, 0.0, 1.0)
+
+    # --- atmosphere (skyview.cpp:751-911) ----------------------------------
+    if config.render_atmosphere:
+        t_lut = compute_transmittance_lut(state.atmosphere)
+        origin_mm = state.camera.position[:3] / METERS_PER_MM
+        origin_mm = origin_mm * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+        origin_mm = origin_mm + jnp.array(
+            [0.0, state.atmosphere.planet_radius_mm, 0.0], jnp.float32
+        )
+        sky_lut = compute_skyview_lut(
+            state.atmosphere,
+            origin_mm,
+            t_lut,
+            width=config.skyview_width,
+            height=config.skyview_height,
+        )
+        sun = jax.tree.map(lambda x: x[0], state.directional_lights)
+        color = sky_camera_pass(
+            lit,
+            vis.depth,
+            gbuffer,
+            state.camera,
+            state.atmosphere,
+            t_lut,
+            sky_lut,
+            sun,
+            shadow_maps[0],
+            draw_extent=(config.width, config.height),
+        )
+        color = jnp.clip(color, 0.0, 1.0)
+    else:
+        color = lit
+
+    # --- OETF (editor.cpp:303-340) -----------------------------------------
+    if config.oetf == "srgb":
+        encoded = oetf_srgb(color)
+    else:
+        encoded = oetf_pure_gamma(color)
+
+    return encoded[: config.height, : config.width]
