@@ -1,0 +1,74 @@
+"""Benchmark: full deferred + atmosphere frame at 1920x1080 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver-defined 16.6 ms/frame (60 FPS) target from BASELINE.md
+(the reference publishes no numbers). vs_baseline = baseline_ms / measured_ms,
+so > 1.0 means faster than the 60 FPS bar.
+
+Frames are measured steady-state with 2 frames in flight, mirroring the
+reference's FrameBuffer pipelining (editor/framebuffer.cpp:134): host packs
+frame N+1 while the device renders frame N.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    width, height = 1920, 1080
+    config = RenderConfig(width=width, height=height)
+
+    scene, library = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.sun_animation.frozen = False
+    scene.sun_animation.speed = 5000.0
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+
+    geometry = pack_geometry(scene, library)
+    aspect = width / height
+
+    # warm up / compile
+    image = render_frame(geometry, pack_frame_params(scene, aspect), config)
+    jax.block_until_ready(image)
+
+    frames = 30
+    in_flight = []
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        scene.tick(1.0 / 60.0)
+        params = pack_frame_params(scene, aspect)
+        in_flight.append(render_frame(geometry, params, config))
+        if len(in_flight) > 2:  # 2 frames in flight (framebuffer.cpp:134)
+            jax.block_until_ready(in_flight.pop(0))
+    jax.block_until_ready(in_flight)
+    ms_per_frame = (time.perf_counter() - t0) / frames * 1000.0
+
+    baseline_ms = 16.6
+    print(
+        json.dumps(
+            {
+                "metric": "ms/frame, 1920x1080 full deferred+atmosphere frame",
+                "value": round(ms_per_frame, 3),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / ms_per_frame, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -160,7 +160,11 @@ class ExtinctionSample(NamedTuple):
 def sample_extinction(atmo: AtmospherePacked, altitude_mm) -> ExtinctionSample:
     """``sampleExtinction`` (``common.glinl:194-216``) — keeps the reference's
     absorptionRayleigh-for-Mie slip."""
-    alt = altitude_mm[..., None]
+    # Robustness deviation: rays that numerically slip below the surface
+    # (altitude resolution at planet radius is ~0.8 m in f32) would blow the
+    # exponentials to inf; the reference GLSL has the same hazard but never
+    # hits it. Clamp to -1 km.
+    alt = jnp.maximum(altitude_mm, -0.001)[..., None]
     density_rayleigh = jnp.exp(-alt / atmo.density_scale_rayleigh_mm)
     scattering_rayleigh = atmo.scattering_rayleigh_per_mm * density_rayleigh
     absorption_rayleigh = atmo.absorption_rayleigh_per_mm * density_rayleigh

@@ -1,0 +1,181 @@
+"""Deferred lighting: PBR conversion, PCF shadows, light loops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syzygy_tpu.kernels.lighting import (
+    TO_TEX_COORD,
+    compute_shadow_frame,
+    convert_pbr,
+    deferred_lighting,
+    sample_shadow_map,
+)
+from syzygy_tpu.kernels.resolve import GBuffer
+from syzygy_tpu.scene import Camera
+from syzygy_tpu.scene.lights import (
+    MAX_SPOT_LIGHTS,
+    SpotlightParams,
+    make_directional,
+    make_spot,
+    spot_raw,
+    make_spot_batched,
+)
+from syzygy_tpu.math.geometry import aabb_from_min_max
+
+
+def make_gbuffer(h=8, w=8, normal=(0.0, -1.0, 0.0), orm=(1.0, 0.5, 0.0)):
+    ones = np.ones((h, w, 1), np.float32)
+
+    def plane(rgb, a=1.0):
+        return jnp.asarray(
+            np.concatenate([np.tile(np.asarray(rgb, np.float32), (h, w, 1)), ones * a], -1)
+        )
+
+    return GBuffer(
+        diffuse=plane((0.5, 0.5, 0.5)),
+        specular=plane((0.5, 0.5, 0.5)),
+        normal=plane(normal, 0.0),
+        world_position=plane((0.0, -1.0, 0.0)),
+        orm=plane(orm),
+    )
+
+
+def test_convert_pbr_matches_reference_formulas():
+    # pbrFunctions.glinl:3-20
+    gb = make_gbuffer(orm=(0.8, 0.3, 0.6))
+    mat = convert_pbr(gb)
+    # specular power = 160^(1-roughness)
+    np.testing.assert_allclose(
+        np.asarray(mat.specular_power)[0, 0, 0], 160.0 ** (1 - 0.3), rtol=1e-5
+    )
+    # reflectance lerp: dielectric 0.04 -> metallic 0.5*spec/max3
+    expected = 0.04 * (1 - 0.6) + (0.5 * 0.5 / 0.5) * 0.6
+    np.testing.assert_allclose(
+        np.asarray(mat.normal_reflectance)[0, 0], [expected] * 3, rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(mat.occlusion)[0, 0, 0], 0.8)
+
+
+def test_shadow_frame_maps_ndc_to_texcoord():
+    # identity projView: ndc xy in [-1,1] -> st in [0,1] (shadowmap.glinl:2-21)
+    pos = jnp.asarray(np.array([[[0.0, 0.0, 0.5]]], np.float32))
+    nrm = jnp.asarray(np.array([[[0.0, 0.0, 1.0]]], np.float32))
+    coord, dx, dy = compute_shadow_frame(jnp.eye(4), pos, nrm)
+    np.testing.assert_allclose(np.asarray(coord)[0, 0], [0.5, 0.5, 0.5, 1.0], atol=1e-6)
+    pos2 = jnp.asarray(np.array([[[-1.0, 1.0, 0.25]]], np.float32))
+    coord2, _, _ = compute_shadow_frame(jnp.eye(4), pos2, nrm)
+    np.testing.assert_allclose(np.asarray(coord2)[0, 0, :2], [0.0, 1.0], atol=1e-6)
+
+
+def test_pcf_fully_occluded_and_fully_lit():
+    # occluder depth 0.9 everywhere; fragment at 0.5 (reverse-Z: occluder nearer)
+    smap = jnp.full((64, 64), 0.9, jnp.float32)
+    coord = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 1.0]), (4, 4, 1))
+    dx = dy = jnp.ones((4, 4), jnp.float32)
+    occluded = sample_shadow_map(smap, coord, dx, dy)
+    np.testing.assert_allclose(np.asarray(occluded), 0.0, atol=1e-6)
+    # fragment nearer than occluder -> fully lit
+    coord_near = coord.at[..., 2].set(0.95)
+    lit = sample_shadow_map(smap, coord_near, dx, dy)
+    np.testing.assert_allclose(np.asarray(lit), 1.0, atol=1e-6)
+
+
+def test_pcf_border_is_unshadowed():
+    # outside the map: clamp-to-border 0 -> occluderDepth > 0 fails -> lit
+    smap = jnp.full((64, 64), 0.9, jnp.float32)
+    coord = jnp.tile(jnp.asarray([2.0, 2.0, 0.5, 1.0]), (2, 2, 1))
+    dx = dy = jnp.ones((2, 2), jnp.float32)
+    lit = sample_shadow_map(smap, coord, dx, dy)
+    np.testing.assert_allclose(np.asarray(lit), 1.0)
+
+
+def test_pcf_partial():
+    smap = np.zeros((64, 64), np.float32)
+    smap[:, :32] = 0.9  # left half occluding
+    coord = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 1.0]), (1, 1, 1))
+    dx = dy = jnp.full((1, 1), 8.0, jnp.float32)  # wide spread: taps hit both halves
+    f = float(np.asarray(sample_shadow_map(jnp.asarray(smap), coord, dx, dy))[0, 0])
+    assert 0.0 < f < 1.0
+
+
+def _lighting_scene(skip=0, spot_count=0, n_dir=2):
+    gb = make_gbuffer(h=8, w=128)
+    bounds = aabb_from_min_max([-1, -2, -1], [1, 0, 1])
+    # sun overhead: light looking straight down = forward (0, 1, 0) (+y down)
+    sun = make_directional(
+        jnp.asarray([1.0, 1.0, 1.0, 1.0]), 4.0,
+        jnp.asarray([-np.pi / 2, 0.0, 0.0]), bounds,
+    )
+    moon = make_directional(
+        jnp.asarray([0.3, 0.4, 0.6, 1.0]), 0.0,
+        jnp.asarray([-np.pi / 2, 0.0, 0.0]), bounds,
+    )
+    dir_lights = jax.tree.map(lambda a, b: jnp.stack([a, b]), sun, moon)
+    raw, n = spot_raw([SpotlightParams()] * spot_count, 2)
+    spots = make_spot_batched(raw)
+    smaps = jnp.zeros((2 + 2, 32, 32), jnp.float32)
+    cam = Camera(position=(0.0, -5.0, 0.0)).packed(1.0)
+    return gb, cam, dir_lights, spots, smaps, n
+
+
+def test_directional_lighting_lambert():
+    gb, cam, dirs, spots, smaps, _ = _lighting_scene()
+    out = deferred_lighting(
+        gb, cam, dirs, jnp.int32(2), jnp.int32(0), spots, jnp.int32(0), smaps
+    )
+    v = np.asarray(out)[4, 64]
+    # sun (strength 4, white) on an up-facing lambertian-ish surface: positive,
+    # grey-ish color
+    assert v.min() > 0.01
+    assert np.allclose(v[0], v[1], atol=1e-5) and np.allclose(v[1], v[2], atol=1e-5)
+
+
+def test_skip_count_removes_sun():
+    gb, cam, dirs, spots, smaps, _ = _lighting_scene()
+    full = deferred_lighting(
+        gb, cam, dirs, jnp.int32(2), jnp.int32(0), spots, jnp.int32(0), smaps
+    )
+    skipped = deferred_lighting(
+        gb, cam, dirs, jnp.int32(2), jnp.int32(1), spots, jnp.int32(0), smaps
+    )
+    # moon strength is 0 here, so skipping the sun leaves nothing
+    assert np.asarray(full).max() > 0.01
+    np.testing.assert_allclose(np.asarray(skipped), 0.0, atol=1e-7)
+
+
+def test_background_pixels_stay_black():
+    gb, cam, dirs, spots, smaps, _ = _lighting_scene()
+    gb = gb._replace(diffuse=gb.diffuse.at[..., 3].set(0.0))  # all background
+    out = deferred_lighting(
+        gb, cam, dirs, jnp.int32(2), jnp.int32(0), spots, jnp.int32(0), smaps
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_spot_light_contributes():
+    gb, cam, dirs, spots_none, smaps, _ = _lighting_scene()
+    # one spotlight above the surface pointing down
+    raw, n = spot_raw(
+        [
+            SpotlightParams(
+                color=(1.0, 0.0, 0.0, 1.0),
+                strength=10.0,
+                position=(0.0, -3.0, 0.0),
+                euler_angles=(-np.pi / 2, 0.0, 0.0),
+                falloff_distance=10.0,
+            )
+        ],
+        2,
+    )
+    spots = make_spot_batched(raw)
+    zero_dirs = jax.tree.map(
+        lambda x: jnp.zeros_like(x), dirs
+    )._replace(strength=jnp.zeros(2))
+    out = deferred_lighting(
+        gb, cam, zero_dirs, jnp.int32(0), jnp.int32(0), spots, jnp.int32(n), smaps
+    )
+    v = np.asarray(out)
+    assert v[..., 0].max() > 0.001  # red light landed
+    assert v[..., 1].max() < 1e-6  # and only red
