@@ -78,6 +78,7 @@ def setup_triangles(
     chunk: int = CHUNK,
     grid_width: int | None = None,
     grid_height: int | None = None,
+    grid_origin=(0, 0),  # global (y, x) pixel origin of the raster target
 ) -> TriSetup:
     """Vectorized triangle setup with near-plane clipping.
 
@@ -186,6 +187,12 @@ def setup_triangles(
     beta1 = -(y0 - y2) * inv
     gamma1 = (x0 - x2) * inv
     alpha1 = ((y0 - y2) * x2 - (x0 - x2) * y2) * inv
+    # Fold the raster target's global pixel origin into the affine forms so
+    # the kernel indexes purely local pixels (image-space sharding support).
+    origin_y = jnp.asarray(grid_origin[0], jnp.float32)
+    origin_x = jnp.asarray(grid_origin[1], jnp.float32)
+    alpha0 = alpha0 + beta0 * origin_x + gamma0 * origin_y
+    alpha1 = alpha1 + beta1 * origin_x + gamma1 * origin_y
     z2c = sz[:, 2]
     dz0 = sz[:, 0] - sz[:, 2]
     dz1 = sz[:, 1] - sz[:, 2]
@@ -212,10 +219,12 @@ def setup_triangles(
     bb_min_y = jnp.where(all_valid, jnp.min(sy, axis=1), jnp.inf)
     bb_max_y = jnp.where(all_valid, jnp.max(sy, axis=1), -jnp.inf)
 
-    tx0 = jnp.clip(jnp.floor(bb_min_x / tile_w), 0, tiles_x).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor(bb_max_x / tile_w), -1, tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bb_min_y / tile_h), 0, tiles_y).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(bb_max_y / tile_h), -1, tiles_y - 1).astype(jnp.int32)
+    oy = jnp.asarray(grid_origin[0], jnp.float32)
+    ox = jnp.asarray(grid_origin[1], jnp.float32)
+    tx0 = jnp.clip(jnp.floor((bb_min_x - ox) / tile_w), 0, tiles_x).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((bb_max_x - ox) / tile_w), -1, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((bb_min_y - oy) / tile_h), 0, tiles_y).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((bb_max_y - oy) / tile_h), -1, tiles_y - 1).astype(jnp.int32)
 
     tx_range = jnp.arange(tiles_x, dtype=jnp.int32)
     ty_range = jnp.arange(tiles_y, dtype=jnp.int32)
@@ -344,7 +353,10 @@ def rasterize(
     chunk: int = CHUNK,
     depth_only: bool = False,
 ) -> VisibilityBuffer:
-    """Run the visibility kernel. width/height must be tile multiples."""
+    """Run the visibility kernel. Target dims must be tile multiples. The
+    target's global pixel origin is pre-folded into the setup coefficients
+    (``setup_triangles(grid_origin=...)``), so the kernel works purely in
+    local pixels."""
     assert width % tile_w == 0 and height % tile_h == 0, (width, height)
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_chunks = setup.coeffs.shape[0] // chunk

@@ -206,6 +206,7 @@ def sky_camera_pass(
     sun_light: DirectionalLight,  # single (row 0 of the stacked lights)
     sun_shadow_map: jnp.ndarray,  # (dim, dim)
     draw_extent: tuple[int, int] | None = None,  # (w, h) viewport for rays
+    row_origin=0,  # global row of this block's first row (image sharding)
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -218,7 +219,8 @@ def sky_camera_pass(
 
     # Per-pixel view ray (camera.comp:324-328); integer pixel / drawExtent
     xs = (jnp.arange(w, dtype=jnp.float32)[None, :] / draw_w - 0.5) * 2.0
-    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] / draw_h - 0.5) * 2.0
+    rows = jnp.arange(h, dtype=jnp.float32) + jnp.asarray(row_origin, jnp.float32)
+    ys = (rows[:, None] / draw_h - 0.5) * 2.0
     clip_uv = jnp.stack(
         [jnp.broadcast_to(xs, (h, w)), jnp.broadcast_to(ys, (h, w))], axis=-1
     )

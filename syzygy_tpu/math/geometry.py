@@ -100,6 +100,46 @@ def jax_rsqrt(x):
     return 1.0 / jnp.sqrt(x)
 
 
+def inverse4(m) -> jnp.ndarray:
+    """Closed-form cofactor inverse of (..., 4, 4) matrices.
+
+    ``jnp.linalg.inv``'s LU path lowers pathologically slowly on this
+    backend (minutes per trace); render matrices are tiny and
+    well-conditioned, so the adjugate is both faster and jit-friendly.
+    """
+    m = _f32(m)
+    a = [[m[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (
+            a[r0][c0] * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+            - a[r0][c1] * (a[r1][c0] * a[r2][c2] - a[r1][c2] * a[r2][c0])
+            + a[r0][c2] * (a[r1][c0] * a[r2][c1] - a[r1][c1] * a[r2][c0])
+        )
+
+    rows = (0, 1, 2, 3)
+    cof = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        ri = [r for r in rows if r != i]
+        for j in range(4):
+            cj = [c for c in rows if c != j]
+            minor = det3(ri[0], ri[1], ri[2], cj[0], cj[1], cj[2])
+            cof[i][j] = minor if (i + j) % 2 == 0 else -minor
+
+    det = (
+        a[0][0] * cof[0][0]
+        + a[0][1] * cof[0][1]
+        + a[0][2] * cof[0][2]
+        + a[0][3] * cof[0][3]
+    )
+    inv_det = 1.0 / det
+    # adjugate = transpose of cofactor matrix
+    flat = jnp.stack(
+        [cof[j][i] * inv_det for i in range(4) for j in range(4)], axis=-1
+    )
+    return flat.reshape(*m.shape[:-2], 4, 4)
+
+
 def translate(v) -> jnp.ndarray:
     t = _f32(v)
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (*t.shape[:-1], 4, 4))

@@ -1,0 +1,94 @@
+"""Multi-chip rendering: image-space + frame-batch sharding over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2c); the natural TPU scaling axes for
+a renderer are:
+
+* ``sp`` (spatial): shard the pixel grid's row-tiles across devices. Every
+  per-pixel pass (raster, resolve, lighting, sky) is local to its rows; only
+  the final image gather crosses chips — it rides ICI via the output sharding,
+  no explicit collectives needed. Scene state and geometry are replicated
+  (a few MB; broadcast once).
+* ``dp`` (data/frame): independent frames (cameras/time steps) across devices,
+  e.g. offline animation or multi-view rendering.
+
+Shadow maps and atmosphere LUTs are recomputed per device rather than sharded
+and gathered — they are small next to the per-pixel work, and recompute avoids
+an ICI round-trip on the frame critical path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from syzygy_tpu.renderer.frame import RenderConfig, render_frame_rows
+from syzygy_tpu.scene.pack import FrameParams, GeometryStatic
+
+
+def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """A (dp, sp) device mesh; dp x sp must equal the device count used."""
+    devices = devices if devices is not None else jax.devices()[: dp * sp]
+    if len(devices) != dp * sp:
+        raise ValueError(f"need {dp * sp} devices, have {len(devices)}")
+    import numpy as np
+
+    return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def render_frames_sharded(
+    geometry: GeometryStatic,
+    params_batch: FrameParams,  # leaves have leading batch dim B (B % dp == 0)
+    config: RenderConfig,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Render a batch of frames over the (dp, sp) mesh.
+
+    Returns (B, height, width, 3). Rows are sharded over ``sp`` during
+    rendering; XLA inserts the gather implied by the output sharding.
+    """
+    sp = mesh.shape["sp"]
+    h_pad = config.padded_height
+    if h_pad % sp != 0:
+        raise ValueError(f"padded height {h_pad} not divisible by sp={sp}")
+    local_rows = h_pad // sp
+    from syzygy_tpu.kernels.raster import TILE_H
+
+    if local_rows % TILE_H != 0:
+        raise ValueError(
+            f"rows per device {local_rows} not a multiple of tile {TILE_H}"
+        )
+
+    def shard_fn(geometry, params_local):
+        # params_local: leading dim B/dp; render each frame's local row block
+        row0 = jax.lax.axis_index("sp") * local_rows
+
+        def one_frame(params):
+            return render_frame_rows(geometry, params, config, row0, local_rows)
+
+        return jax.vmap(one_frame)(params_local)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=P("dp", "sp", None, None),
+        check_rep=False,
+    )
+    out = fn(geometry, params_batch)  # (B, h_pad, w_pad, 3)
+    return out[:, : config.height, : config.width]
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place a pytree replicated across the mesh (geometry broadcast)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def batch_params(params_list) -> FrameParams:
+    """Stack per-frame FrameParams into a leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list)

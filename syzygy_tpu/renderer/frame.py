@@ -1,16 +1,20 @@
-"""The frame graph: one jitted function from scene state to final image.
+"""The frame graph: scene state to final image.
 
 TPU equivalent of ``Renderer::recordDraw`` (``renderer/renderer.cpp:278-443``)
 + ``DeferredShadingPipeline::recordDrawCommands`` (``deferred.cpp:435-792``)
 + ``SkyViewComputePipeline::recordDrawCommands`` (``skyview.cpp:751-911``)
 + the OETF dispatch (``editor/editor.cpp:303-340``). Vulkan's command buffer,
-barriers and image layout transitions all collapse into XLA dataflow: every
-pass is a pure function and the compiler orders/fuses them.
+barriers and image layout transitions collapse into XLA dataflow.
 
-Pass order per frame (all inside one jit):
-  prepare_frame_state -> vertex transform -> shadow depth rasters (vmapped
-  over lights) -> camera raster -> G-buffer resolve -> deferred lighting ->
-  transmittance LUT -> sky-view LUT -> sky camera pass -> OETF.
+The single-chip path (:func:`render_frame`) chains THREE jitted stages —
+geometry (vertex/shadow/raster/resolve), lighting, sky+OETF — instead of one
+mega-program: intermediates stay on device and the host never syncs between
+them (the analog of one queue submission), but each program keeps XLA compile
+time bounded (the fully-fused frame compiles pathologically slowly on TPU).
+
+The multi-chip path uses :func:`render_frame_rows` (the whole pipeline as a
+pure function over a row block) under ``shard_map`` — see
+``syzygy_tpu.parallel``.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from syzygy_tpu.kernels.atmosphere import (
     compute_skyview_lut,
     compute_transmittance_lut,
 )
+from syzygy_tpu.kernels.common import round_up
 from syzygy_tpu.kernels.lighting import deferred_lighting
 from syzygy_tpu.kernels.raster import TILE_H, TILE_W, rasterize, setup_triangles
 from syzygy_tpu.kernels.resolve import (
@@ -35,7 +40,6 @@ from syzygy_tpu.kernels.resolve import (
 )
 from syzygy_tpu.kernels.sky import sky_camera_pass
 from syzygy_tpu.kernels.transfer import oetf_pure_gamma, oetf_srgb
-from syzygy_tpu.kernels.common import round_up
 from syzygy_tpu.scene.lights import MAX_SPOT_LIGHTS
 from syzygy_tpu.scene.pack import (
     FrameParams,
@@ -87,7 +91,9 @@ def _shadow_pass(
 
     # light projView stack: [sun, moon, spots...]
     dir_pv = jnp.einsum(
-        "lij,ljk->lik", state.directional_lights.projection, state.directional_lights.view
+        "lij,ljk->lik",
+        state.directional_lights.projection,
+        state.directional_lights.view,
     )
     spot_pv = jnp.einsum(
         "lij,ljk->lik", state.spot_lights.projection, state.spot_lights.view
@@ -113,18 +119,37 @@ def _shadow_pass(
         )
         return rasterize(setup, dim, dim, depth_only=True).depth
 
-    return jax.vmap(one_light)(pv, active)
+    maps = jax.vmap(one_light)(pv, active)
+    total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
+    if maps.shape[0] < total_lights:
+        maps = jnp.concatenate(
+            [
+                maps,
+                jnp.zeros(
+                    (total_lights - maps.shape[0], dim, dim), jnp.float32
+                ),
+            ],
+            axis=0,
+        )
+    return maps
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def render_frame(
-    geometry: GeometryStatic, params: FrameParams, config: RenderConfig
-) -> jnp.ndarray:
-    """Scene state -> (height, width, 3) nonlinear-encoded image in [0, 1]."""
+# ---------------------------------------------------------------------------
+# staged single-chip path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config", "row0", "local_rows"))
+def _stage_geometry(
+    geometry: GeometryStatic,
+    params: FrameParams,
+    config: RenderConfig,
+    row0: int = 0,
+    local_rows: int | None = None,
+):
+    """prepare + vertex + shadow rasters + camera raster + G-buffer resolve."""
+    local_rows = config.padded_height if local_rows is None else local_rows
     state = prepare_frame_state(params)
-    w_pad, h_pad = config.padded_width, config.padded_height
-
-    # --- vertex stage (offscreen.vert) -------------------------------------
     proj_view = state.camera.projection @ state.camera.view
     clip, world = transform_positions(
         geometry.positions, geometry.vert_instance, state.models, proj_view
@@ -135,42 +160,27 @@ def render_frame(
     world_h = jnp.concatenate(
         [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
     )
-
-    # --- shadow maps -------------------------------------------------------
     shadow_maps = _shadow_pass(geometry, world_h, state, config)
-    # pad the map array up to all lights the lighting loop may index
-    total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
-    if shadow_maps.shape[0] < total_lights:
-        shadow_maps = jnp.concatenate(
-            [
-                shadow_maps,
-                jnp.zeros(
-                    (
-                        total_lights - shadow_maps.shape[0],
-                        config.shadow_dim,
-                        config.shadow_dim,
-                    ),
-                    jnp.float32,
-                ),
-            ],
-            axis=0,
-        )
 
-    # --- G-buffer raster + resolve (deferred.cpp:503-713) ------------------
     setup = setup_triangles(
         clip,
         geometry.triangles,
         geometry.tri_valid,
         config.width,
         config.height,
-        cull_keep_sign=+1,  # back-face cull, CW front
-        grid_width=w_pad,
-        grid_height=h_pad,
+        cull_keep_sign=+1,  # back-face cull, CW front (deferred.cpp:503-713)
+        grid_width=config.padded_width,
+        grid_height=local_rows,
+        grid_origin=(row0, 0),
     )
-    vis = rasterize(setup, w_pad, h_pad)
+    vis = rasterize(setup, config.padded_width, local_rows)
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
+    return state, vis, gbuffer, shadow_maps
 
-    # --- deferred lighting (lights.comp) -----------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def _stage_lighting(state: FrameState, gbuffer, shadow_maps):
+    """deferred lighting (lights.comp); scene color clamps like UNORM."""
     lit = deferred_lighting(
         gbuffer,
         state.camera,
@@ -181,10 +191,20 @@ def render_frame(
         state.spot_count,
         shadow_maps,
     )
-    # scene color texture is R16G16B16A16_UNORM: clamps on write
-    lit = jnp.clip(lit, 0.0, 1.0)
+    return jnp.clip(lit, 0.0, 1.0)
 
-    # --- atmosphere (skyview.cpp:751-911) ----------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config", "row0"))
+def _stage_sky(
+    state: FrameState,
+    lit,
+    vis_depth,
+    gbuffer,
+    shadow_maps,
+    config: RenderConfig,
+    row0: int = 0,
+):
+    """atmosphere LUTs + per-pixel sky pass + OETF."""
     if config.render_atmosphere:
         t_lut = compute_transmittance_lut(state.atmosphere)
         origin_mm = state.camera.position[:3] / METERS_PER_MM
@@ -202,7 +222,7 @@ def render_frame(
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
         color = sky_camera_pass(
             lit,
-            vis.depth,
+            vis_depth,
             gbuffer,
             state.camera,
             state.atmosphere,
@@ -211,15 +231,77 @@ def render_frame(
             sun,
             shadow_maps[0],
             draw_extent=(config.width, config.height),
+            row_origin=row0,
         )
         color = jnp.clip(color, 0.0, 1.0)
     else:
         color = lit
-
-    # --- OETF (editor.cpp:303-340) -----------------------------------------
     if config.oetf == "srgb":
-        encoded = oetf_srgb(color)
-    else:
-        encoded = oetf_pure_gamma(color)
+        return oetf_srgb(color)
+    return oetf_pure_gamma(color)
 
+
+def render_frame(
+    geometry: GeometryStatic, params: FrameParams, config: RenderConfig
+) -> jnp.ndarray:
+    """Scene state -> (height, width, 3) nonlinear-encoded image in [0, 1].
+
+    Three chained device programs; the host enqueues all three without
+    syncing (one logical queue submission, like editor.cpp:396-401).
+    """
+    state, vis, gbuffer, shadow_maps = _stage_geometry(geometry, params, config)
+    lit = _stage_lighting(state, gbuffer, shadow_maps)
+    encoded = _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
     return encoded[: config.height, : config.width]
+
+
+# ---------------------------------------------------------------------------
+# whole-pipeline pure function (multi-chip row blocks; also CPU tests)
+# ---------------------------------------------------------------------------
+
+
+def render_frame_rows(
+    geometry: GeometryStatic,
+    params: FrameParams,
+    config: RenderConfig,
+    row0,
+    local_rows: int,
+) -> jnp.ndarray:
+    """Render rows [row0, row0 + local_rows) of the padded frame.
+
+    ``row0`` may be traced (each device renders its row block under
+    shard_map; shadow maps and LUTs are recomputed per device — small next to
+    the per-pixel work). ``local_rows`` must be a tile multiple.
+    """
+    state = prepare_frame_state(params)
+    proj_view = state.camera.projection @ state.camera.view
+    clip, world = transform_positions(
+        geometry.positions, geometry.vert_instance, state.models, proj_view
+    )
+    world_normals = transform_normals(
+        geometry.normals, geometry.vert_instance, state.model_inv_transpose
+    )
+    world_h = jnp.concatenate(
+        [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
+    )
+    shadow_maps = _shadow_pass(geometry, world_h, state, config)
+
+    setup = setup_triangles(
+        clip,
+        geometry.triangles,
+        geometry.tri_valid,
+        config.width,
+        config.height,
+        cull_keep_sign=+1,
+        grid_width=config.padded_width,
+        grid_height=local_rows,
+        grid_origin=(row0, 0),
+    )
+    vis = rasterize(setup, config.padded_width, local_rows)
+    gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
+
+    lit = _stage_lighting.__wrapped__(state, gbuffer, shadow_maps)
+    encoded = _stage_sky.__wrapped__(
+        state, lit, vis.depth, gbuffer, shadow_maps, config, row0
+    )
+    return encoded

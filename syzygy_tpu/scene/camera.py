@@ -17,6 +17,7 @@ from syzygy_tpu.math.geometry import (
     WORLD_FORWARD,
     WORLD_RIGHT,
     WORLD_UP,
+    inverse4,
     orientate4,
     perspective_vk,
     projection_ortho_vk,
@@ -67,11 +68,11 @@ def pack_camera(
     forward4 = jnp.concatenate([WORLD_FORWARD, jnp.zeros(1, jnp.float32)])
     return CameraPacked(
         projection=proj,
-        inverse_projection=jnp.linalg.inv(proj),
+        inverse_projection=inverse4(proj),
         view=view,
-        view_inverse_transpose=jnp.linalg.inv(view).T,
+        view_inverse_transpose=inverse4(view).T,
         rotation=rotation,
-        proj_view_inverse=jnp.linalg.inv(proj_view),
+        proj_view_inverse=inverse4(proj_view),
         forward_world=rotation @ forward4,
         position=jnp.concatenate([position, jnp.ones(1, jnp.float32)]),
     )

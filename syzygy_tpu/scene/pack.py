@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from syzygy_tpu.math.geometry import orientate4
+from syzygy_tpu.math.geometry import inverse4, orientate4
 from syzygy_tpu.scene.atmosphere import (
     AtmospherePacked,
     AtmosphereRaw,
@@ -237,7 +237,7 @@ def prepare_frame_state(params: FrameParams) -> FrameState:
     )
     models = rot * scales4[..., None, :]  # scale columns
     models = models.at[..., 0:3, 3].set(params.translations)
-    inv_t = jnp.linalg.inv(models).transpose(0, 2, 1)
+    inv_t = inverse4(models).transpose(0, 2, 1)
 
     camera = pack_camera(
         params.cam_position,
