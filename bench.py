@@ -38,7 +38,9 @@ def main() -> None:
         np.asarray(eulers_from_forward(target - eye))
     )
 
-    geometry = pack_geometry(scene, library)
+    from syzygy_tpu.runtime import place_on_accelerator
+
+    geometry = place_on_accelerator(pack_geometry(scene, library))
     aspect = width / height
 
     # warm up / compile

@@ -25,4 +25,16 @@ import jax as _jax
 # via preferred_element_type / explicit precision instead.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Keep EAGER ops (constants created during tracing, tiny host-side math) on
+# CPU. On a tunneled TPU backend, every `jnp.array([...])` literal otherwise
+# lands on the remote device, and embedding it as an MLIR constant at lowering
+# costs a ~30 s device->host fetch EACH — tracing a frame took minutes.
+# Jitted computations still run on the accelerator: bulk inputs are committed
+# there explicitly (see syzygy_tpu.runtime.place_on_accelerator).
+if _jax.default_backend() != "cpu":
+    try:
+        _jax.config.update("jax_default_device", _jax.devices("cpu")[0])
+    except RuntimeError:  # no CPU platform initialized
+        pass
+
 __version__ = "0.1.0"

@@ -76,7 +76,9 @@ def main() -> None:
         render_atmosphere=not args.no_atmosphere,
         oetf=args.oetf,
     )
-    geometry = pack_geometry(scene, library)
+    from syzygy_tpu.runtime import place_on_accelerator
+
+    geometry = place_on_accelerator(pack_geometry(scene, library))
     aspect = args.width / args.height
 
     os.makedirs(args.out, exist_ok=True)
