@@ -66,6 +66,7 @@ class RenderConfig:
     skyview_width: int = 2048  # skyview.cpp:175
     skyview_height: int = 1024
     render_atmosphere: bool = True
+    debug_lines: bool = False  # wireframe bounds overlay (debuglines.hpp)
     oetf: str = "srgb"  # GammaTransferFunction (editorconfig.hpp:5-9)
 
     @property
@@ -236,6 +237,18 @@ def _stage_sky(
         color = jnp.clip(color, 0.0, 1.0)
     else:
         color = lit
+    if config.debug_lines:
+        from syzygy_tpu.kernels.debuglines import draw_lines
+
+        proj_view = state.camera.projection @ state.camera.view
+        color = draw_lines(
+            color,
+            vis_depth,
+            state.debug_segments,
+            state.debug_valid,
+            proj_view,
+            (config.width, config.height),
+        )
     if config.oetf == "srgb":
         return oetf_srgb(color)
     return oetf_pure_gamma(color)

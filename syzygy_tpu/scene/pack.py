@@ -81,6 +81,8 @@ class FrameParams(NamedTuple):
     spots: SpotRaw
     spot_count: np.ndarray  # i32
     directional_skip_count: np.ndarray  # i32 (1 when sky pass lights the sun)
+    debug_segments: np.ndarray  # (S, 2, 3) world-space debug line endpoints
+    debug_valid: np.ndarray  # (S,) bool
 
 
 class FrameState(NamedTuple):
@@ -95,6 +97,8 @@ class FrameState(NamedTuple):
     directional_skip_count: jnp.ndarray  # i32
     spot_lights: SpotLight  # stacked (MAX_SPOT, ...)
     spot_count: jnp.ndarray  # i32
+    debug_segments: jnp.ndarray  # (S, 2, 3)
+    debug_valid: jnp.ndarray  # (S,) bool
 
 
 def _pad_rows(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
@@ -207,6 +211,7 @@ def pack_frame_params(scene: Scene, aspect_ratio: float) -> FrameParams:
     spots, spot_count = spot_raw(
         scene.spotlights if scene.spotlights_render else [], MAX_SPOT_LIGHTS
     )
+    debug_segments, debug_valid = _debug_boxes(scene, bounds_min, bounds_max)
     f = np.float32
     return FrameParams(
         translations=np.asarray(translations, np.float32),
@@ -224,7 +229,56 @@ def pack_frame_params(scene: Scene, aspect_ratio: float) -> FrameParams:
         spots=spots,
         spot_count=np.int32(spot_count),
         directional_skip_count=np.int32(1 if scene.render_atmosphere else 0),
+        debug_segments=debug_segments,
+        debug_valid=debug_valid,
     )
+
+
+_BOX_EDGES = np.array(
+    [
+        [0, 1], [1, 3], [3, 2], [2, 0],
+        [4, 5], [5, 7], [7, 6], [6, 4],
+        [0, 4], [1, 5], [2, 6], [3, 7],
+    ],
+    np.int32,
+)
+
+
+def _debug_boxes(scene: Scene, bounds_min, bounds_max):
+    """Wireframe boxes: per-instance oriented mesh bounds + scene shadow
+    bounds (``renderer.cpp:344-366, 417-427``). Fixed capacity per scene."""
+    segs = []
+    for instance in _renderable(scene):
+        vmin, vmax = instance.mesh.vertex_bounds
+        corners = np.array(
+            [
+                [x, y, z]
+                for x in (vmin[0], vmax[0])
+                for y in (vmin[1], vmax[1])
+                for z in (vmin[2], vmax[2])
+            ],
+            np.float32,
+        )
+        corners_h = np.concatenate([corners, np.ones((8, 1), np.float32)], 1)
+        for t in instance.transforms:
+            world = (t.to_matrix() @ corners_h.T).T[:, :3]
+            segs.append(world[_BOX_EDGES])
+    # scene shadow bounds box (axis aligned)
+    bmin = np.asarray(bounds_min, np.float32)
+    bmax = np.asarray(bounds_max, np.float32)
+    corners = np.array(
+        [
+            [x, y, z]
+            for x in (bmin[0], bmax[0])
+            for y in (bmin[1], bmax[1])
+            for z in (bmin[2], bmax[2])
+        ],
+        np.float32,
+    )
+    segs.append(corners[_BOX_EDGES])
+    segments = np.concatenate(segs, axis=0).astype(np.float32)
+    valid = np.ones(segments.shape[0], bool)
+    return segments, valid
 
 
 def prepare_frame_state(params: FrameParams) -> FrameState:
@@ -264,4 +318,6 @@ def prepare_frame_state(params: FrameParams) -> FrameState:
         ),
         spot_lights=spot_lights,
         spot_count=jnp.asarray(params.spot_count, jnp.int32),
+        debug_segments=jnp.asarray(params.debug_segments, jnp.float32),
+        debug_valid=jnp.asarray(params.debug_valid),
     )
