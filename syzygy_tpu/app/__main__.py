@@ -2,19 +2,26 @@
 
 Replaces ``editor/editor.cpp:441-779``: ticks the scene (sun animation,
 instance animations, scripted fly-camera input), renders each frame through
-the single jitted frame function, tracks an FPS ring buffer, and writes PNG
-frames. ImGui/GLFW/swapchain are out of scope for a TPU engine; the metrics
-report stands in for the performance window.
+the jitted frame stages, tracks an FPS ring buffer, and writes PNG frames.
+ImGui/GLFW/swapchain are out of scope for a TPU engine; the metrics report
+stands in for the performance window, ``--save/--load-scene`` for the planned
+serialization, and ``--orbit`` for interactive fly input.
+
+Pipelines (``Renderer::RenderingPipelines``, ``renderer.cpp:381-443``):
+  deferred            the full G-buffer + lighting + atmosphere frame
+  compute-collection  the demo fullscreen compute shaders
+                      (gradient_color / matrix_color, renderer.cpp:234-247)
 
 Usage:
     python -m syzygy_tpu.app --frames 8 --width 960 --height 540 \
-        --out /tmp/szg --scene default
+        --out /tmp/szg --scene default --orbit
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
+import math
 import os
 import time
 
@@ -28,10 +35,25 @@ def main() -> None:
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--out", type=str, default="frames")
     parser.add_argument(
+        "--pipeline",
+        type=str,
+        default="deferred",
+        choices=["deferred", "compute-collection"],
+    )
+    parser.add_argument(
+        "--compute-shader",
+        type=str,
+        default="gradient",
+        choices=["gradient", "matrix"],
+    )
+    parser.add_argument(
         "--scene", type=str, default="default", choices=["default", "sphere"]
     )
     parser.add_argument("--gltf", type=str, default=None, help="path to .glb/.gltf")
+    parser.add_argument("--load-scene", type=str, default=None)
+    parser.add_argument("--save-scene", type=str, default=None)
     parser.add_argument("--no-atmosphere", action="store_true")
+    parser.add_argument("--debug-lines", action="store_true")
     parser.add_argument("--shadow-dim", type=int, default=1024)
     parser.add_argument("--skyview-scale", type=int, default=1,
                         help="divide skyview LUT resolution by this factor")
@@ -41,6 +63,10 @@ def main() -> None:
     parser.add_argument("--time-of-day", type=float, default=None,
                         help="sun time in [0,1); 0.5 = noon")
     parser.add_argument("--sun-speed", type=float, default=100.0)
+    parser.add_argument("--camera-pos", type=str, default=None, help="x,y,z")
+    parser.add_argument("--camera-look", type=str, default=None, help="x,y,z")
+    parser.add_argument("--orbit", action="store_true",
+                        help="orbit the camera around the look target")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -55,9 +81,18 @@ def main() -> None:
 
     import numpy as np
 
-    from syzygy_tpu.renderer import RenderConfig, render_frame
-    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
     from syzygy_tpu.utils import RingBuffer, write_png
+
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.pipeline == "compute-collection":
+        _run_compute_collection(args)
+        return
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.runtime import place_on_accelerator
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
 
     scene, library = _build_scene(args)
     if args.time_of_day is not None:
@@ -65,6 +100,18 @@ def main() -> None:
         scene.sun_animation.frozen = True
     scene.sun_animation.speed = args.sun_speed
     scene.render_atmosphere = not args.no_atmosphere
+
+    look_target = np.array([0.0, -6.0, 0.0], np.float32)
+    if args.camera_look:
+        look_target = np.asarray(
+            [float(v) for v in args.camera_look.split(",")], np.float32
+        )
+    if args.camera_pos:
+        eye = np.asarray([float(v) for v in args.camera_pos.split(",")], np.float32)
+        scene.camera.position = tuple(eye)
+        scene.camera.euler_angles = tuple(
+            np.asarray(eulers_from_forward(look_target - eye))
+        )
     scene.tick(0.0)
 
     config = RenderConfig(
@@ -74,15 +121,21 @@ def main() -> None:
         skyview_width=2048 // args.skyview_scale,
         skyview_height=1024 // args.skyview_scale,
         render_atmosphere=not args.no_atmosphere,
+        debug_lines=args.debug_lines,
         oetf=args.oetf,
     )
-    from syzygy_tpu.runtime import place_on_accelerator
-
     geometry = place_on_accelerator(pack_geometry(scene, library))
     aspect = args.width / args.height
 
-    os.makedirs(args.out, exist_ok=True)
     fps_history = RingBuffer()
+    orbit_radius = None
+    if args.orbit:
+        eye0 = np.asarray(scene.camera.position, np.float32)
+        orbit_radius = float(np.linalg.norm((eye0 - look_target)[[0, 2]]))
+        orbit_height = float(eye0[1])
+        orbit_phase = math.atan2(
+            eye0[2] - look_target[2], eye0[0] - look_target[0]
+        )
 
     log.info(
         "rendering %d frame(s) at %dx%d on %s",
@@ -91,25 +144,81 @@ def main() -> None:
         args.height,
         jax.default_backend(),
     )
-    t_compile = time.perf_counter()
+    t_total = time.perf_counter()
     for frame_idx in range(args.frames):
         t0 = time.perf_counter()
+        if args.orbit:
+            angle = orbit_phase + frame_idx * 2.0 * math.pi / max(args.frames, 1)
+            eye = look_target + np.array(
+                [
+                    orbit_radius * math.cos(angle),
+                    orbit_height - look_target[1],
+                    orbit_radius * math.sin(angle),
+                ],
+                np.float32,
+            )
+            scene.camera.position = tuple(eye)
+            scene.camera.euler_angles = tuple(
+                np.asarray(eulers_from_forward(look_target - eye))
+            )
         params = pack_frame_params(scene, aspect)
-        image = render_frame(geometry, params, config)
-        image = np.asarray(image)
+        image = np.asarray(render_frame(geometry, params, config))
         dt = time.perf_counter() - t0
         if frame_idx == 0:
             log.info("first frame (incl. compile): %.1fs", dt)
         else:
             fps_history.write(1.0 / max(dt, 1e-9))
-        path = os.path.join(args.out, f"frame_{frame_idx:04d}.png")
-        write_png(path, image)
+        write_png(os.path.join(args.out, f"frame_{frame_idx:04d}.png"), image)
         scene.tick(args.dt)
 
     log.info("wrote %d frames to %s", args.frames, args.out)
     if args.frames > 1:
         log.info("fps (steady, incl. host sync + png): %s", fps_history.report())
-    log.info("total %.1fs", time.perf_counter() - t_compile)
+    log.info("total %.1fs", time.perf_counter() - t_total)
+
+    if args.save_scene:
+        from syzygy_tpu.scene.serialize import save_scene
+
+        save_scene(args.save_scene, scene)
+        log.info("saved scene to %s", args.save_scene)
+
+
+def _run_compute_collection(args) -> None:
+    """Config-ladder entry 1: fullscreen demo compute passes + OETF
+    (``ComputeCollectionPipeline``, ``renderer/pipelines.cpp:223-380``)."""
+    import jax
+    import numpy as np
+
+    from syzygy_tpu.kernels.transfer import (
+        gradient_color,
+        matrix_color,
+        oetf_pure_gamma,
+        oetf_srgb,
+    )
+    from syzygy_tpu.utils import write_png
+
+    w, h = args.width, args.height
+
+    @jax.jit
+    def frame():
+        if args.compute_shader == "gradient":
+            img = gradient_color(w, h)
+        else:
+            rng = np.random.default_rng(0)
+            img = matrix_color(
+                w,
+                h,
+                rng.uniform(0, 1, (4, 4)).astype(np.float32),
+                rng.uniform(0, 1, (4, 4)).astype(np.float32),
+                rng.uniform(0, 1, (4, 4)).astype(np.float32),
+            )
+        rgb = img[..., :3]
+        return oetf_srgb(rgb) if args.oetf == "srgb" else oetf_pure_gamma(rgb)
+
+    image = np.asarray(frame())
+    path = os.path.join(args.out, "compute_0000.png")
+    write_png(path, image)
+    log.info("compute-collection (%s): wrote %s", args.compute_shader, path)
 
 
 def _build_scene(args):
@@ -120,6 +229,18 @@ def _build_scene(args):
     )
     from syzygy_tpu.scene import Scene, TransformHost, default_scene
 
+    if args.load_scene:
+        from syzygy_tpu.assets import cube_mesh, plane_mesh
+        from syzygy_tpu.scene.serialize import load_scene
+
+        library = TextureLibrary()
+        material = register_default_textures(library)
+        meshes = {
+            "mesh_Cube": cube_mesh(material),
+            "mesh_Plane": plane_mesh(material),
+            "mesh_Sphere": sphere_mesh(material),
+        }
+        return load_scene(args.load_scene, meshes.__getitem__), library
     if args.gltf:
         from syzygy_tpu.assets.gltf import load_gltf_scene
 
