@@ -191,7 +191,43 @@ class Scene:
     def shadow_bounds(self) -> tuple[np.ndarray, np.ndarray]:
         """CPU AABB over all shadow-casting geometry (``scene.cpp:95-148``).
 
-        Returns numpy (min, max) — this is per-frame host path, no jnp."""
+        Returns numpy (min, max) — per-frame host path. Uses the C++ core
+        (native/szg_native.cpp) when available; numpy fallback below is the
+        executable spec."""
+        from syzygy_tpu import native
+
+        if native.available():
+            casts, corners, mats = [], [], []
+            for instance in self.geometry:
+                if (
+                    not instance.casts_shadow
+                    or not instance.render
+                    or instance.mesh is None
+                ):
+                    continue
+                vmin, vmax = instance.mesh.vertex_bounds
+                cs = np.array(
+                    [
+                        [x, y, z]
+                        for x in (vmin[0], vmax[0])
+                        for y in (vmin[1], vmax[1])
+                        for z in (vmin[2], vmax[2])
+                    ],
+                    np.float32,
+                )
+                for t in instance.transforms:
+                    casts.append(1)
+                    corners.append(cs)
+                    mats.append(t.to_matrix())
+            if not casts:
+                return np.zeros(3, np.float32), np.zeros(3, np.float32)
+            found, mn, mx = native.shadow_bounds(
+                np.asarray(casts, np.uint8),
+                np.stack(corners),
+                np.stack(mats),
+            )
+            return mn, mx
+
         mn = np.full(3, np.finfo(np.float32).max, np.float32)
         mx = np.full(3, np.finfo(np.float32).min, np.float32)
         found = False

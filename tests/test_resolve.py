@@ -1,0 +1,172 @@
+"""G-buffer resolve: perspective-correct interpolation, texturing, normals."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syzygy_tpu.kernels.raster import rasterize, setup_triangles
+from syzygy_tpu.kernels.resolve import (
+    resolve_gbuffer,
+    sample_bilinear_repeat,
+    transform_normals,
+    transform_positions,
+)
+from syzygy_tpu.scene.pack import GeometryStatic
+
+W, H = 128, 128
+
+
+def quad_geometry(z_near=2.0, z_far=6.0, checker_size=8):
+    """A quad tilted in depth: left edge at z_near, right edge at z_far."""
+    positions = np.array(
+        [
+            [-1.0, -1.0, z_near],
+            [1.0, -1.0, z_far],
+            [1.0, 1.0, z_far],
+            [-1.0, 1.0, z_near],
+        ],
+        np.float32,
+    )
+    normals = np.tile([[0.0, 0.0, -1.0]], (4, 1)).astype(np.float32)
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    colors = np.ones((4, 4), np.float32)
+    triangles = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+
+    # checkerboard texture
+    s = 64
+    yy, xx = np.mgrid[0:s, 0:s]
+    check = (((xx // checker_size) + (yy // checker_size)) % 2).astype(np.float32)
+    tex = np.stack([check, check, check, np.ones_like(check)], -1)
+
+    geo = GeometryStatic(
+        positions=jnp.asarray(positions),
+        normals=jnp.asarray(normals),
+        uvs=jnp.asarray(uvs),
+        colors=jnp.asarray(colors),
+        vert_instance=jnp.zeros(4, jnp.int32),
+        triangles=jnp.asarray(triangles),
+        tri_material=jnp.zeros(2, jnp.int32),
+        tri_valid=jnp.ones(2, bool),
+        tri_casts_shadow=jnp.ones(2, bool),
+        materials=jnp.zeros((1, 3), jnp.int32),
+        textures=jnp.asarray(tex)[None].repeat(1, 0),
+    )
+    return geo, positions
+
+
+def perspective_proj():
+    from syzygy_tpu.math.geometry import perspective_vk
+
+    return np.asarray(perspective_vk(90.0, 1.0, 0.1, 100.0))
+
+
+def test_perspective_correct_world_position():
+    geo, positions = quad_geometry()
+    proj = perspective_proj()
+    models = jnp.eye(4)[None]
+    clip, world = transform_positions(
+        geo.positions, geo.vert_instance, models, jnp.asarray(proj)
+    )
+    setup = setup_triangles(clip, geo.triangles, geo.tri_valid, W, H, 0)
+    vis = rasterize(setup, W, H)
+    wn = transform_normals(geo.normals, geo.vert_instance, models)
+    gb = resolve_gbuffer(vis, setup, geo, world, wn)
+
+    covered = np.asarray(vis.tri) >= 0
+    assert covered.mean() > 0.05  # small projected trapezoid
+    wp = np.asarray(gb.world_position)[..., :3]
+    # reproject interpolated world positions: must land on their pixel center
+    ys, xs = np.nonzero(covered)
+    pts = np.concatenate([wp[ys, xs], np.ones((len(ys), 1), np.float32)], -1)
+    clip_r = pts @ proj.T
+    ndc = clip_r[:, :2] / clip_r[:, 3:4]
+    px = (ndc[:, 0] * 0.5 + 0.5) * W
+    py = (ndc[:, 1] * 0.5 + 0.5) * H
+    np.testing.assert_allclose(px, xs + 0.5, atol=0.05)
+    np.testing.assert_allclose(py, ys + 0.5, atol=0.05)
+    # depth covers the configured range (perspective-correct z span)
+    z = wp[ys, xs, 2]
+    assert z.min() > 1.9 and z.max() < 6.1
+
+
+def test_texture_checker_frequency_compresses_with_depth():
+    # perspective correctness: checker squares are wider on the near side
+    geo, _ = quad_geometry()
+    proj = perspective_proj()
+    models = jnp.eye(4)[None]
+    clip, world = transform_positions(
+        geo.positions, geo.vert_instance, models, jnp.asarray(proj)
+    )
+    setup = setup_triangles(clip, geo.triangles, geo.tri_valid, W, H, 0)
+    vis = rasterize(setup, W, H)
+    wn = transform_normals(geo.normals, geo.vert_instance, models)
+    gb = resolve_gbuffer(vis, setup, geo, world, wn)
+    covered = np.asarray(vis.tri) >= 0
+    row = H // 2
+    diffuse_row = np.asarray(gb.diffuse)[row, :, 0]
+    mask_row = covered[row]
+    xs = np.nonzero(mask_row)[0]
+    vals = diffuse_row[xs] > 0.5
+    # count transitions in near half vs far half of the covered span
+    half = len(xs) // 2
+    trans_near = int(np.sum(vals[1:half] != vals[: half - 1]))
+    trans_far = int(np.sum(vals[half + 1 :] != vals[half:-1]))
+    assert trans_far > trans_near  # more squares per pixel farther away
+
+
+def test_normal_mapping_flat_map_keeps_vertex_normal():
+    geo, _ = quad_geometry()
+    # flat normal texture (0.5, 0.5, 1) unsigned
+    flat = np.zeros((64, 64, 4), np.float32)
+    flat[..., 0] = 127 / 255
+    flat[..., 1] = 127 / 255
+    flat[..., 2] = 1.0
+    geo = geo._replace(
+        textures=jnp.stack([jnp.asarray(flat)]),
+    )
+    proj = perspective_proj()
+    models = jnp.eye(4)[None]
+    clip, world = transform_positions(
+        geo.positions, geo.vert_instance, models, jnp.asarray(proj)
+    )
+    setup = setup_triangles(clip, geo.triangles, geo.tri_valid, W, H, 0)
+    vis = rasterize(setup, W, H)
+    wn = transform_normals(geo.normals, geo.vert_instance, models)
+    gb = resolve_gbuffer(vis, setup, geo, world, wn)
+    covered = np.asarray(vis.tri) >= 0
+    n = np.asarray(gb.normal)[..., :3][covered]
+    # flat tangent-space normal -> perturbed == geometric normal (0,0,-1)
+    np.testing.assert_allclose(n[:, 2], -1.0, atol=2e-2)
+
+
+def test_bilinear_repeat_wraps():
+    tex = np.zeros((4, 4, 4), np.float32)
+    tex[0, 0] = 1.0  # single bright texel
+    textures = jnp.asarray(tex)[None]
+    ids = jnp.zeros((1,), jnp.int32)
+    # uv = (0.125, 0.125) is the center of texel (0,0)
+    v = sample_bilinear_repeat(ids, textures, jnp.asarray([[0.125, 0.125]]))
+    np.testing.assert_allclose(np.asarray(v)[0, 0], 1.0, atol=1e-6)
+    # uv + 1.0 wraps (REPEAT)
+    v2 = sample_bilinear_repeat(ids, textures, jnp.asarray([[1.125, 2.125]]))
+    np.testing.assert_allclose(np.asarray(v2)[0, 0], 1.0, atol=1e-6)
+    # halfway between texels: bilinear average
+    v3 = sample_bilinear_repeat(ids, textures, jnp.asarray([[0.25, 0.125]]))
+    np.testing.assert_allclose(np.asarray(v3)[0, 0], 0.5, atol=1e-6)
+
+
+def test_background_alpha_zero():
+    geo, _ = quad_geometry()
+    proj = perspective_proj()
+    models = jnp.eye(4)[None]
+    clip, world = transform_positions(
+        geo.positions, geo.vert_instance, models, jnp.asarray(proj)
+    )
+    setup = setup_triangles(clip, geo.triangles, geo.tri_valid, W, H, 0)
+    vis = rasterize(setup, W, H)
+    wn = transform_normals(geo.normals, geo.vert_instance, models)
+    gb = resolve_gbuffer(vis, setup, geo, world, wn)
+    bg = ~(np.asarray(vis.tri) >= 0)
+    assert (np.asarray(gb.diffuse)[bg][:, 3] == 0).all()
+    covered = ~bg
+    assert (np.asarray(gb.diffuse)[covered][:, 3] == 1).all()
