@@ -51,7 +51,9 @@ class TriSetup(NamedTuple):
     orig_tri: jnp.ndarray  # (T2,) i32 -> original triangle id
     corner_bary: jnp.ndarray  # (T2, 3, 2) f32: corners' (b0,b1) wrt original
     corner_w: jnp.ndarray  # (T2, 3) f32 clip w of this (possibly clipped) tri
-    chunk_mask: jnp.ndarray  # (chunks, tiles_y, tiles_x) i32 overlap mask
+    # (chunks padded to 8, tiles_y * tiles_x) i32 overlap mask; paged into
+    # SMEM 8 chunk-rows at a time so usage scales with tiles, not triangles
+    chunk_mask: jnp.ndarray
 
 
 # coeffs packing:
@@ -226,22 +228,37 @@ def setup_triangles(
     ty0 = jnp.clip(jnp.floor((bb_min_y - oy) / tile_h), 0, tiles_y).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((bb_max_y - oy) / tile_h), -1, tiles_y - 1).astype(jnp.int32)
 
+    # Reduce per-triangle tile ranges to per-chunk tile bboxes BEFORE
+    # expanding over tiles: materializing (T2, tiles) overlap masks costs
+    # O(T * tiles) memory (OOM at ~250k tris x 18 shadow lights); the chunk
+    # bbox union is what the kernel's skip test needs anyway.
+    def pad_i32(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full(t2_pad - t2, fill, jnp.int32)], axis=0
+        )
+
+    n_chunks = t2_pad // chunk
+    tx0c = pad_i32(tx0, tiles_x).reshape(n_chunks, chunk).min(axis=1)
+    tx1c = pad_i32(tx1, -1).reshape(n_chunks, chunk).max(axis=1)
+    ty0c = pad_i32(ty0, tiles_y).reshape(n_chunks, chunk).min(axis=1)
+    ty1c = pad_i32(ty1, -1).reshape(n_chunks, chunk).max(axis=1)
+
     tx_range = jnp.arange(tiles_x, dtype=jnp.int32)
     ty_range = jnp.arange(tiles_y, dtype=jnp.int32)
-    in_x = (tx_range[None, :] >= tx0[:, None]) & (tx_range[None, :] <= tx1[:, None])
-    in_y = (ty_range[None, :] >= ty0[:, None]) & (ty_range[None, :] <= ty1[:, None])
-    overlap = in_y[:, :, None] & in_x[:, None, :]  # (2T, TY, TX)
-    overlap = jnp.concatenate(
+    in_x = (tx_range[None, :] >= tx0c[:, None]) & (tx_range[None, :] <= tx1c[:, None])
+    in_y = (ty_range[None, :] >= ty0c[:, None]) & (ty_range[None, :] <= ty1c[:, None])
+    chunk_mask = (
+        (in_y[:, :, None] & in_x[:, None, :])
+        .reshape(n_chunks, tiles_y * tiles_x)
+        .astype(jnp.int32)
+    )
+    chunks_pad = round_up(max(n_chunks, 1), 8)
+    chunk_mask = jnp.concatenate(
         [
-            overlap,
-            jnp.zeros((t2_pad - t2, tiles_y, tiles_x), bool),
+            chunk_mask,
+            jnp.zeros((chunks_pad - n_chunks, tiles_y * tiles_x), jnp.int32),
         ],
         axis=0,
-    )
-    chunk_mask = (
-        overlap.reshape(t2_pad // chunk, chunk, tiles_y, tiles_x)
-        .any(axis=1)
-        .astype(jnp.int32)
     )
 
     return TriSetup(
@@ -267,7 +284,7 @@ class VisibilityBuffer(NamedTuple):
 
 
 def _raster_kernel(
-    mask_ref,  # SMEM, whole (chunks, tiles_y, tiles_x) i32 array
+    mask_ref,  # SMEM (8, tiles_y * tiles_x) i32: chunk-rows c//8*8 .. +8
     coeffs_ref,  # VMEM (CHUNK, 12) f32
     depth_ref,
     tri_ref,
@@ -282,6 +299,7 @@ def _raster_kernel(
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     c = pl.program_id(2)
+    n_tx = pl.num_programs(1)
 
     @pl.when(c == 0)
     def _init():
@@ -291,7 +309,7 @@ def _raster_kernel(
             b0_ref[:] = jnp.zeros_like(b0_ref)
             b1_ref[:] = jnp.zeros_like(b1_ref)
 
-    @pl.when(mask_ref[c, ty, tx] != 0)
+    @pl.when(mask_ref[c % 8, ty * n_tx + tx] != 0)
     def _work():
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
             jnp.float32
@@ -387,7 +405,11 @@ def rasterize(
     grid_spec = pl.GridSpec(
         grid=(tiles_y, tiles_x, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, tiles_y * tiles_x),
+                lambda ty, tx, c: (c // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (chunk, _COEFF_WIDTH),
                 lambda ty, tx, c: (c, 0),

@@ -120,7 +120,9 @@ def _shadow_pass(
         )
         return rasterize(setup, dim, dim, depth_only=True).depth
 
-    maps = jax.vmap(one_light)(pv, active)
+    # lax.map (sequential) rather than vmap: each light's triangle setup is
+    # O(T) temporary memory, and 18 concurrent copies OOM at ~250k triangles.
+    maps = jax.lax.map(lambda args: one_light(*args), (pv, active))
     total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
     if maps.shape[0] < total_lights:
         maps = jnp.concatenate(

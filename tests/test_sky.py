@@ -1,0 +1,156 @@
+"""Sky camera pass: environment vs geometry branches, tonemap, transfer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syzygy_tpu.kernels import atmosphere as atm
+from syzygy_tpu.kernels.resolve import GBuffer
+from syzygy_tpu.kernels.sky import sky_camera_pass
+from syzygy_tpu.kernels.transfer import (
+    gradient_color,
+    matrix_color,
+    oetf_pure_gamma,
+    oetf_srgb,
+)
+from syzygy_tpu.math.geometry import aabb_from_min_max
+from syzygy_tpu.scene import Atmosphere, Camera
+from syzygy_tpu.scene.lights import make_directional
+
+H, W = 64, 128
+
+
+@pytest.fixture(scope="module")
+def sky_inputs():
+    # noon sun
+    atmo_host = Atmosphere(sun_euler_angles=(np.pi / 2 + np.pi, 0.0, 0.0))
+    atmo = atmo_host.packed()
+    t_lut = atm.compute_transmittance_lut(atmo)
+    origin = jnp.asarray([0.0, 6.36 + 1e-5, 0.0], jnp.float32)
+    sky_lut = atm.compute_skyview_lut(atmo, origin, t_lut, width=64, height=32)
+    cam = Camera(position=(0.0, -10.0, 0.0), euler_angles=(0.0, 0.0, 0.0)).packed(
+        W / H
+    )
+    sun = make_directional(
+        jnp.asarray([1.0, 1.0, 1.0, 1.0]),
+        4.0,
+        jnp.asarray([np.pi / 2 + np.pi, 0.0, 0.0]),
+        aabb_from_min_max([-10, -5, -10], [10, 0, 10]),
+    )
+    smap = jnp.zeros((64, 64), jnp.float32)
+    return atmo, t_lut, sky_lut, cam, sun, smap
+
+
+def empty_gbuffer():
+    zeros = jnp.zeros((H, W, 4), jnp.float32)
+    return GBuffer(
+        diffuse=zeros, specular=zeros, normal=zeros, world_position=zeros, orm=zeros
+    )
+
+
+def test_sky_background_is_blue_daylight(sky_inputs):
+    atmo, t_lut, sky_lut, cam, sun, smap = sky_inputs
+    color = np.asarray(
+        sky_camera_pass(
+            jnp.zeros((H, W, 3)),
+            jnp.zeros((H, W)),  # all background
+            empty_gbuffer(),
+            cam,
+            atmo,
+            t_lut,
+            sky_lut,
+            sun,
+            smap,
+        )
+    )
+    assert np.isfinite(color).all()
+    top = color[:8]
+    assert top[..., 2].mean() > top[..., 0].mean() > 0  # blue sky
+    # ground rows (camera looks at horizon; bottom half hits planet)
+    bottom = color[-8:]
+    assert bottom.mean() > 0.0
+
+
+def test_geometry_branch_uses_scene_color(sky_inputs):
+    atmo, t_lut, sky_lut, cam, sun, smap = sky_inputs
+    # a lit geometry pixel: depth > 0, position above ground (y < 0)
+    gb = empty_gbuffer()
+    pos = jnp.tile(jnp.asarray([0.0, -1.0, 5.0, 1.0]), (H, W, 1))
+    nrm = jnp.tile(jnp.asarray([0.0, -1.0, 0.0, 0.0]), (H, W, 1))
+    diffuse = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 1.0]), (H, W, 1))
+    orm = jnp.tile(jnp.asarray([1.0, 0.5, 0.0, 1.0]), (H, W, 1))
+    gb = gb._replace(
+        world_position=pos, normal=nrm, diffuse=diffuse, specular=diffuse, orm=orm
+    )
+    scene_color = jnp.full((H, W, 3), 0.25, jnp.float32)
+    depth = jnp.full((H, W), 0.5, jnp.float32)
+    color = np.asarray(
+        sky_camera_pass(
+            scene_color, depth, gb, cam, atmo, t_lut, sky_lut, sun, smap
+        )
+    )
+    assert np.isfinite(color).all()
+    # the ad-hoc tonemap includes surfaceLuminance = scene color:
+    # color >= pow(0.25, 1.2) > 0.18 everywhere on the geometry branch
+    assert color.min() > 0.18
+
+
+def test_tonemap_monotonic(sky_inputs):
+    atmo, t_lut, sky_lut, cam, sun, smap = sky_inputs
+    bright = sky_camera_pass(
+        jnp.full((H, W, 3), 0.9), jnp.full((H, W), 0.5),
+        _lit_gbuffer(), cam, atmo, t_lut, sky_lut, sun, smap,
+    )
+    dim = sky_camera_pass(
+        jnp.full((H, W, 3), 0.1), jnp.full((H, W), 0.5),
+        _lit_gbuffer(), cam, atmo, t_lut, sky_lut, sun, smap,
+    )
+    assert float(jnp.mean(bright)) > float(jnp.mean(dim))
+
+
+def _lit_gbuffer():
+    gb = empty_gbuffer()
+    pos = jnp.tile(jnp.asarray([0.0, -1.0, 5.0, 1.0]), (H, W, 1))
+    nrm = jnp.tile(jnp.asarray([0.0, -1.0, 0.0, 0.0]), (H, W, 1))
+    diffuse = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 1.0]), (H, W, 1))
+    orm = jnp.tile(jnp.asarray([1.0, 0.5, 0.0, 1.0]), (H, W, 1))
+    return gb._replace(
+        world_position=pos, normal=nrm, diffuse=diffuse, specular=diffuse, orm=orm
+    )
+
+
+# --- transfer functions ------------------------------------------------------
+
+
+def test_oetf_srgb_reference_points():
+    # linear 0 -> 0, 1 -> 1, piecewise boundary continuous
+    x = jnp.asarray([0.0, 0.0031308, 0.5, 1.0])
+    y = np.asarray(oetf_srgb(x))
+    assert y[0] == 0.0
+    np.testing.assert_allclose(y[1], 12.92 * 0.0031308, atol=1e-6)
+    np.testing.assert_allclose(y[2], 1.055 * 0.5 ** (1 / 2.4) - 0.055, atol=1e-6)
+    np.testing.assert_allclose(y[3], 1.0, atol=1e-6)
+
+
+def test_oetf_pure_gamma():
+    np.testing.assert_allclose(
+        np.asarray(oetf_pure_gamma(jnp.asarray([0.25]))), 0.25 ** (1 / 2.2), atol=1e-6
+    )
+
+
+def test_gradient_color_demo():
+    img = np.asarray(gradient_color(16, 32, (1, 0, 0, 1), (0, 0, 1, 1)))
+    assert img.shape == (32, 16, 4)
+    assert img[0, 0, 0] > img[-1, 0, 0]  # red fades down
+    assert img[-1, 0, 2] > img[0, 0, 2]  # blue grows down
+
+
+def test_matrix_color_demo():
+    red = np.arange(16, dtype=np.float32).reshape(4, 4) / 16
+    img = np.asarray(matrix_color(64, 64, red, red * 0, red * 0))
+    assert img.shape == (64, 64, 4)
+    # 4x4 blocks: value constant within a block, increasing across blocks
+    assert np.allclose(img[0:16, 0:16, 0], red[0, 0])
+    assert img[0, 48, 0] == pytest.approx(red[0, 3])
+    assert img[48, 0, 0] == pytest.approx(red[3, 0])
