@@ -26,7 +26,25 @@ def main() -> None:
     width, height = 1920, 1080
     config = RenderConfig(width=width, height=height)
 
+    # Flagship scene: the editor default (2 cubes + floor + red spotlight)
+    # plus a 5x5 grid of waving UV spheres — ~100k triangles, animated
+    # time-of-day, in the spirit of the ABeautifulGame showcase scene.
+    from syzygy_tpu.assets import register_default_textures, sphere_mesh
+    from syzygy_tpu.scene import InstanceAnimation, TransformHost
+
     scene, library = default_scene()
+    # texture registration is name-deduped: returns the existing material ids
+    sphere = sphere_mesh(register_default_textures(library))
+    transforms = [
+        TransformHost.make((6.0 * (i % 5) - 12.0, -3.0, 6.0 * (i // 5) - 12.0))
+        for i in range(25)
+    ]
+    scene.add_mesh_instance(
+        sphere,
+        "BenchSpheres",
+        transforms,
+        animation=InstanceAnimation.DIAGONAL_WAVE,
+    )
     scene.sun_animation.time = 0.35
     scene.sun_animation.frozen = False
     scene.sun_animation.speed = 5000.0

@@ -161,7 +161,7 @@ def main() -> None:
             scene.camera.euler_angles = tuple(
                 np.asarray(eulers_from_forward(look_target - eye))
             )
-        params = pack_frame_params(scene, aspect)
+        params = pack_frame_params(scene, aspect, debug_lines=args.debug_lines)
         image = np.asarray(render_frame(geometry, params, config))
         dt = time.perf_counter() - t0
         if frame_idx == 0:

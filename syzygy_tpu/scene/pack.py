@@ -194,8 +194,13 @@ def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
     )
 
 
-def pack_frame_params(scene: Scene, aspect_ratio: float) -> FrameParams:
-    """Numpy-only per-frame snapshot (replaces staged-buffer pushes)."""
+def pack_frame_params(
+    scene: Scene, aspect_ratio: float, debug_lines: bool = False
+) -> FrameParams:
+    """Numpy-only per-frame snapshot (replaces staged-buffer pushes).
+
+    ``debug_lines`` gates the wireframe-box segment packing (it walks every
+    instance transform; only pay for it when the overlay is on)."""
     translations, eulers, scales = [], [], []
     for instance in _renderable(scene):
         for t in instance.transforms:
@@ -211,7 +216,11 @@ def pack_frame_params(scene: Scene, aspect_ratio: float) -> FrameParams:
     spots, spot_count = spot_raw(
         scene.spotlights if scene.spotlights_render else [], MAX_SPOT_LIGHTS
     )
-    debug_segments, debug_valid = _debug_boxes(scene, bounds_min, bounds_max)
+    if debug_lines:
+        debug_segments, debug_valid = _debug_boxes(scene, bounds_min, bounds_max)
+    else:
+        debug_segments = np.zeros((1, 2, 3), np.float32)
+        debug_valid = np.zeros(1, bool)
     f = np.float32
     return FrameParams(
         translations=np.asarray(translations, np.float32),

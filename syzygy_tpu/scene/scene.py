@@ -197,7 +197,7 @@ class Scene:
         from syzygy_tpu import native
 
         if native.available():
-            casts, corners, mats = [], [], []
+            corners, trs = [], []
             for instance in self.geometry:
                 if (
                     not instance.casts_shadow
@@ -216,15 +216,17 @@ class Scene:
                     np.float32,
                 )
                 for t in instance.transforms:
-                    casts.append(1)
                     corners.append(cs)
-                    mats.append(t.to_matrix())
-            if not casts:
+                    trs.append((t.translation, t.euler_angles, t.scale))
+            if not trs:
                 return np.zeros(3, np.float32), np.zeros(3, np.float32)
+            mats = native.trs_to_matrices(
+                np.asarray([x[0] for x in trs], np.float32),
+                np.asarray([x[1] for x in trs], np.float32),
+                np.asarray([x[2] for x in trs], np.float32),
+            )
             found, mn, mx = native.shadow_bounds(
-                np.asarray(casts, np.uint8),
-                np.stack(corners),
-                np.stack(mats),
+                np.ones(len(trs), np.uint8), np.stack(corners), mats
             )
             return mn, mx
 

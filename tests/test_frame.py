@@ -68,7 +68,10 @@ def test_debug_lines_overlay(frame_setup):
     import dataclasses
 
     cfg = dataclasses.replace(config, debug_lines=True)
-    img = np.asarray(render_frame(geometry, params, cfg))
+    scene, *_ = frame_setup
+    dbg_params = pack_frame_params(scene, W / H, debug_lines=True)
+    img = np.asarray(render_frame(geometry, dbg_params, cfg))
+    params = dbg_params
     base = np.asarray(render_frame(geometry, params, config))
     diff = img != base
     assert diff.any()  # lines drew something
