@@ -54,6 +54,9 @@ def main() -> None:
     parser.add_argument("--save-scene", type=str, default=None)
     parser.add_argument("--no-atmosphere", action="store_true")
     parser.add_argument("--debug-lines", action="store_true")
+    parser.add_argument("--dump-gbuffer", action="store_true",
+                        help="also write G-buffer planes, depth, shadow map "
+                             "and atmosphere LUTs as PNGs (TextureDisplay)")
     parser.add_argument("--shadow-dim", type=int, default=1024)
     parser.add_argument("--skyview-scale", type=int, default=1,
                         help="divide skyview LUT resolution by this factor")
@@ -181,6 +184,61 @@ def main() -> None:
 
         save_scene(args.save_scene, scene)
         log.info("saved scene to %s", args.save_scene)
+
+    if args.dump_gbuffer:
+        _dump_gbuffer(args, geometry, params, config)
+
+
+def _dump_gbuffer(args, geometry, params, config) -> None:
+    """TextureDisplay analog (``ui/texturedisplay.*``): write intermediate
+    targets as PNGs for inspection."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.atmosphere import (
+        compute_skyview_lut,
+        compute_transmittance_lut,
+        METERS_PER_MM,
+    )
+    import jax.numpy as jnp
+
+    from syzygy_tpu.renderer.frame import _stage_geometry
+    from syzygy_tpu.scene.pack import prepare_frame_state
+    from syzygy_tpu.utils import write_png
+
+    state, vis, gbuffer, shadow_maps = _stage_geometry(geometry, params, config)
+
+    def norm01(x):
+        x = np.asarray(x, np.float32)
+        lo, hi = x.min(), x.max()
+        return (x - lo) / max(hi - lo, 1e-9)
+
+    h, w = config.height, config.width
+    out = args.out
+    write_png(f"{out}/gbuffer_diffuse.png", np.asarray(gbuffer.diffuse)[:h, :w, :3])
+    write_png(f"{out}/gbuffer_specular.png", np.asarray(gbuffer.specular)[:h, :w, :3])
+    write_png(
+        f"{out}/gbuffer_normal.png",
+        np.asarray(gbuffer.normal)[:h, :w, :3] * 0.5 + 0.5,
+    )
+    write_png(
+        f"{out}/gbuffer_worldpos.png",
+        norm01(np.asarray(gbuffer.world_position)[:h, :w, :3]),
+    )
+    write_png(f"{out}/gbuffer_orm.png", np.asarray(gbuffer.orm)[:h, :w, :3])
+    write_png(f"{out}/depth.png", norm01(np.asarray(vis.depth)[:h, :w]))
+    write_png(f"{out}/shadow_map_0.png", norm01(np.asarray(shadow_maps[0])))
+    t_lut = compute_transmittance_lut(state.atmosphere)
+    write_png(f"{out}/transmittance_lut.png", np.asarray(t_lut))
+    origin = state.camera.position[:3] / METERS_PER_MM
+    origin = origin * jnp.asarray([1.0, -1.0, 1.0]) + jnp.asarray(
+        [0.0, state.atmosphere.planet_radius_mm, 0.0]
+    )
+    sky = compute_skyview_lut(
+        state.atmosphere, origin, t_lut,
+        width=config.skyview_width, height=config.skyview_height,
+    )
+    write_png(f"{out}/skyview_lut.png", norm01(np.asarray(sky)))
+    log.info("dumped G-buffer/LUT textures to %s", out)
 
 
 def _run_compute_collection(args) -> None:

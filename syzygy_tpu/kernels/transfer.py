@@ -40,6 +40,37 @@ def gradient_color(
     return jnp.broadcast_to(rows[:, None, :], (height, width, 4))
 
 
+def boolean_push(width: int, height: int, rows) -> jnp.ndarray:
+    """``booleanpush.comp``: 4x4 boolean grid, white/black blocks modulated
+    by a (u, v, 0) tint. ``rows``: (4, 4) bool-ish."""
+    rows = jnp.asarray(rows).astype(jnp.float32)
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    iu = jnp.clip((u * 4).astype(jnp.int32), 0, 3)
+    iv = jnp.clip((v * 4).astype(jnp.int32), 0, 3)
+    on = rows[iv[:, None], iu[None, :]]  # (H, W)
+    base = jnp.stack([on, on, on, jnp.ones_like(on)], axis=-1)
+    tint = jnp.stack(
+        [
+            jnp.broadcast_to(u[None, :], (height, width)),
+            jnp.broadcast_to(v[:, None], (height, width)),
+            jnp.zeros((height, width), jnp.float32),
+            jnp.ones((height, width), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return base * tint
+
+
+def sparse_push(
+    width: int, height: int, top_color, bottom_color
+) -> jnp.ndarray:
+    """``sparse_push_constant.comp``: the gradient again, exercising the
+    reference's sparse push-constant layout (same output as gradient_color —
+    the layout trick has no TPU analog; the pass exists for ladder parity)."""
+    return gradient_color(width, height, top_color, bottom_color)
+
+
 def matrix_color(
     width: int, height: int, red: jnp.ndarray, green: jnp.ndarray, blue: jnp.ndarray
 ) -> jnp.ndarray:
