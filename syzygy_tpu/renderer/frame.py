@@ -62,7 +62,9 @@ class RenderConfig:
     width: int = 1920
     height: int = 1080
     shadow_dim: int = 1024  # ref: 8192 (deferred.cpp:179); scaled for HBM
-    n_shadow_maps: int = N_DIRECTIONAL + MAX_SPOT_LIGHTS
+    # raster budget: sun, moon, first 2 spots; lights beyond it get no shadow
+    # (the reference warns on shadow-map overflow, shadowpass.cpp:219-225)
+    n_shadow_maps: int = 4
     skyview_width: int = 2048  # skyview.cpp:175
     skyview_height: int = 1024
     render_atmosphere: bool = True
