@@ -60,6 +60,8 @@ def main() -> None:
     parser.add_argument("--shadow-dim", type=int, default=1024)
     parser.add_argument("--skyview-scale", type=int, default=1,
                         help="divide skyview LUT resolution by this factor")
+    parser.add_argument("--supersample", type=int, default=1,
+                        help="SSAA factor (render at NxN subsamples)")
     parser.add_argument("--oetf", type=str, default="srgb",
                         choices=["srgb", "pure_gamma"])
     parser.add_argument("--dt", type=float, default=1.0 / 60.0)
@@ -125,6 +127,7 @@ def main() -> None:
         skyview_height=1024 // args.skyview_scale,
         render_atmosphere=not args.no_atmosphere,
         debug_lines=args.debug_lines,
+        supersample=args.supersample,
         oetf=args.oetf,
     )
     geometry = place_on_accelerator(pack_geometry(scene, library))

@@ -70,14 +70,25 @@ class RenderConfig:
     render_atmosphere: bool = True
     debug_lines: bool = False  # wireframe bounds overlay (debuglines.hpp)
     oetf: str = "srgb"  # GammaTransferFunction (editorconfig.hpp:5-9)
+    # supersampling factor (beyond-reference AA): render at width*ss and
+    # box-filter down before the OETF
+    supersample: int = 1
+
+    @property
+    def render_width(self) -> int:
+        return self.width * self.supersample
+
+    @property
+    def render_height(self) -> int:
+        return self.height * self.supersample
 
     @property
     def padded_width(self) -> int:
-        return round_up(self.width, TILE_W)
+        return round_up(self.render_width, TILE_W)
 
     @property
     def padded_height(self) -> int:
-        return round_up(self.height, TILE_H)
+        return round_up(self.render_height, TILE_H)
 
 
 def _shadow_pass(
@@ -171,8 +182,8 @@ def _stage_geometry(
         clip,
         geometry.triangles,
         geometry.tri_valid,
-        config.width,
-        config.height,
+        config.render_width,
+        config.render_height,
         cull_keep_sign=+1,  # back-face cull, CW front (deferred.cpp:503-713)
         grid_width=config.padded_width,
         grid_height=local_rows,
@@ -235,7 +246,7 @@ def _stage_sky(
             sky_lut,
             sun,
             shadow_maps[0],
-            draw_extent=(config.width, config.height),
+            draw_extent=(config.render_width, config.render_height),
             row_origin=row0,
         )
         color = jnp.clip(color, 0.0, 1.0)
@@ -253,6 +264,13 @@ def _stage_sky(
             proj_view,
             (config.width, config.height),
         )
+    if config.supersample > 1:
+        ss = config.supersample
+        h = (color.shape[0] // ss) * ss
+        w = (config.render_width // ss) * ss
+        color = color[:h, :w].reshape(
+            h // ss, ss, w // ss, ss, 3
+        ).mean(axis=(1, 3))
     if config.oetf == "srgb":
         return oetf_srgb(color)
     return oetf_pure_gamma(color)

@@ -113,3 +113,17 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.ndim == 3 and out.shape[-1] == 3
     assert bool(jax.numpy.isfinite(out).all())
+
+
+def test_supersampling_shape_and_smoothing(frame_setup):
+    import dataclasses
+
+    _, geometry, params, config = frame_setup
+    cfg2 = dataclasses.replace(config, supersample=2)
+    img1 = np.asarray(render_frame(geometry, params, config))
+    img2 = np.asarray(render_frame(geometry, params, cfg2))
+    assert img2.shape == img1.shape
+    # SSAA softens the hardest edge
+    g1 = np.abs(np.diff(img1.mean(-1), axis=1)).max()
+    g2 = np.abs(np.diff(img2.mean(-1), axis=1)).max()
+    assert g2 <= g1 + 1e-6
