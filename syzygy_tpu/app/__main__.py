@@ -47,7 +47,10 @@ def main() -> None:
         choices=["gradient", "matrix"],
     )
     parser.add_argument(
-        "--scene", type=str, default="default", choices=["default", "sphere"]
+        "--scene",
+        type=str,
+        default="default",
+        choices=["default", "sphere", "chessboard"]
     )
     parser.add_argument("--gltf", type=str, default=None, help="path to .glb/.gltf")
     parser.add_argument("--load-scene", type=str, default=None)
@@ -306,6 +309,10 @@ def _build_scene(args):
         from syzygy_tpu.assets.gltf import load_gltf_scene
 
         return load_gltf_scene(args.gltf)
+    if args.scene == "chessboard":
+        from syzygy_tpu.assets.showcase import chessboard_scene
+
+        return chessboard_scene()
     if args.scene == "sphere":
         library = TextureLibrary()
         material = register_default_textures(library)
