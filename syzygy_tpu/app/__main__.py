@@ -44,7 +44,7 @@ def main() -> None:
         "--compute-shader",
         type=str,
         default="gradient",
-        choices=["gradient", "matrix"],
+        choices=["gradient", "matrix", "boolean", "sparse"],
     )
     parser.add_argument(
         "--scene",
@@ -254,10 +254,12 @@ def _run_compute_collection(args) -> None:
     import numpy as np
 
     from syzygy_tpu.kernels.transfer import (
+        boolean_push,
         gradient_color,
         matrix_color,
         oetf_pure_gamma,
         oetf_srgb,
+        sparse_push,
     )
     from syzygy_tpu.utils import write_png
 
@@ -267,6 +269,11 @@ def _run_compute_collection(args) -> None:
     def frame():
         if args.compute_shader == "gradient":
             img = gradient_color(w, h)
+        elif args.compute_shader == "boolean":
+            rng = np.random.default_rng(1)
+            img = boolean_push(w, h, rng.integers(0, 2, (4, 4)))
+        elif args.compute_shader == "sparse":
+            img = sparse_push(w, h, (1.0, 0.3, 0.05, 1.0), (0.05, 0.1, 0.6, 1.0))
         else:
             rng = np.random.default_rng(0)
             img = matrix_color(

@@ -209,6 +209,37 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def look_at_vk_safe(eye, center) -> jnp.ndarray:
+    """``lookAtVkSafe`` (``geometryhelpers.cpp:70-81``): falls back to
+    WORLD_FORWARD as up when the world axes degenerate (they never do with
+    the engine's orthonormal basis — kept for API parity)."""
+    cosine = jnp.sum(WORLD_FORWARD * WORLD_UP)
+    up = jnp.where(
+        jnp.abs(cosine) > 0.99, WORLD_FORWARD * jnp.sign(cosine), WORLD_UP
+    )
+    return look_at_vk(eye, center, up)
+
+
+def random_quat(key) -> jnp.ndarray:
+    """``randomQuat`` (``geometryhelpers.cpp:159-169``): uniform random
+    rotation quaternion (w, x, y, z), via two unit-disk samples."""
+    import jax
+
+    k1, k2 = jax.random.split(jnp.asarray(key))
+
+    def disk(k):
+        # rejection-free: polar sampling of the unit disk
+        ka, kb = jax.random.split(k)
+        r = jnp.sqrt(jax.random.uniform(ka))
+        theta = jax.random.uniform(kb) * 2.0 * jnp.pi
+        return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)])
+
+    xy = disk(k1)
+    uv = disk(k2)
+    s = jnp.sqrt((1.0 - jnp.sum(xy * xy)) / jnp.maximum(jnp.sum(uv * uv), 1e-12))
+    return jnp.stack([s * uv[1], xy[0], xy[1], s * uv[0]])
+
+
 def perspective_vk(fov_y_degrees, aspect_ratio, near, far) -> jnp.ndarray:
     """``projectionVk`` (``geometryhelpers.cpp:83-95``).
 

@@ -192,3 +192,19 @@ def test_look_at_vk_center_on_axis():
     assert view_center[0] == pytest.approx(0.0, abs=1e-5)
     assert view_center[1] == pytest.approx(0.0, abs=1e-5)
     assert view_center[2] == pytest.approx(np.linalg.norm(center - eye), abs=1e-4)
+
+
+def test_look_at_vk_safe_matches_look_at():
+    eye = np.array([1.0, -5.0, 2.0], np.float32)
+    center = np.array([4.0, 0.0, -1.0], np.float32)
+    a = np.asarray(g.look_at_vk(eye, center, np.asarray(g.WORLD_UP)))
+    b = np.asarray(g.look_at_vk_safe(eye, center))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_random_quat_unit_norm():
+    import jax
+
+    for seed in range(4):
+        q = np.asarray(g.random_quat(jax.random.PRNGKey(seed)))
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-5)
