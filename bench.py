@@ -20,8 +20,14 @@ def main() -> None:
     import jax
 
     from syzygy_tpu.math.geometry import eulers_from_forward
-    from syzygy_tpu.renderer import RenderConfig, render_frame
-    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+    from syzygy_tpu.renderer import RenderConfig, render_frame_packed
+    from syzygy_tpu.scene import (
+        default_scene,
+        flatten_frame_params,
+        frame_param_spec,
+        pack_frame_params,
+        pack_geometry,
+    )
 
     width, height = 1920, 1080
     config = RenderConfig(width=width, height=height)
@@ -61,8 +67,13 @@ def main() -> None:
     geometry = place_on_accelerator(pack_geometry(scene, library))
     aspect = width / height
 
-    # warm up / compile
-    image = render_frame(geometry, pack_frame_params(scene, aspect), config)
+    # warm up / compile (flattened params: one H2D per frame)
+    params0 = pack_frame_params(scene, aspect)
+    spec = frame_param_spec(params0)
+    buf = np.empty(spec.total, np.float32)
+    image = render_frame_packed(
+        geometry, flatten_frame_params(params0, spec, buf), spec, config
+    )
     jax.block_until_ready(image)
 
     frames = 30
@@ -71,7 +82,8 @@ def main() -> None:
     for _ in range(frames):
         scene.tick(1.0 / 60.0)
         params = pack_frame_params(scene, aspect)
-        in_flight.append(render_frame(geometry, params, config))
+        flat = flatten_frame_params(params, spec, buf)
+        in_flight.append(render_frame_packed(geometry, flat, spec, config))
         if len(in_flight) > 2:  # 2 frames in flight (framebuffer.cpp:134)
             jax.block_until_ready(in_flight.pop(0))
     jax.block_until_ready(in_flight)

@@ -46,6 +46,7 @@ from syzygy_tpu.scene.pack import (
     FrameState,
     GeometryStatic,
     prepare_frame_state,
+    unflatten_frame_params,
 )
 
 N_DIRECTIONAL = 2  # sun + moon (renderer.cpp:311-328)
@@ -285,6 +286,30 @@ def render_frame(
     syncing (one logical queue submission, like editor.cpp:396-401).
     """
     state, vis, gbuffer, shadow_maps = _stage_geometry(geometry, params, config)
+    lit = _stage_lighting(state, gbuffer, shadow_maps)
+    encoded = _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
+    return encoded[: config.height, : config.width]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "config", "row0", "local_rows")
+)
+def _stage_geometry_packed(
+    geometry, buffer, spec, config, row0: int = 0, local_rows: int | None = None
+):
+    params = unflatten_frame_params(spec, buffer)
+    return _stage_geometry.__wrapped__(geometry, params, config, row0, local_rows)
+
+
+def render_frame_packed(
+    geometry: GeometryStatic, buffer, spec, config: RenderConfig
+) -> jnp.ndarray:
+    """Like :func:`render_frame` but takes a flattened FrameParams buffer
+    (ONE host->device upload per frame; see
+    ``scene.pack.flatten_frame_params``)."""
+    state, vis, gbuffer, shadow_maps = _stage_geometry_packed(
+        geometry, buffer, spec, config
+    )
     lit = _stage_lighting(state, gbuffer, shadow_maps)
     encoded = _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
     return encoded[: config.height, : config.width]

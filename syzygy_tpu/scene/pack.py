@@ -290,6 +290,69 @@ def _debug_boxes(scene: Scene, bounds_min, bounds_max):
     return segments, valid
 
 
+class FrameParamSpec(NamedTuple):
+    """Static description of a flattened FrameParams buffer (hashable)."""
+
+    shapes: tuple  # tuple of leaf shapes, flatten order of jax.tree
+    dtypes: tuple  # tuple of dtype names
+    offsets: tuple  # element offsets into the f32 buffer
+    total: int  # total f32 elements
+
+
+def frame_param_spec(params: FrameParams) -> FrameParamSpec:
+    import jax
+
+    leaves = jax.tree.leaves(params)
+    shapes, dtypes, offsets = [], [], []
+    offset = 0
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        shapes.append(tuple(arr.shape))
+        dtypes.append(arr.dtype.name)
+        offsets.append(offset)
+        offset += int(arr.size)
+    return FrameParamSpec(
+        shapes=tuple(shapes),
+        dtypes=tuple(dtypes),
+        offsets=tuple(offsets),
+        total=offset,
+    )
+
+
+def flatten_frame_params(
+    params: FrameParams, spec: FrameParamSpec, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Pack every leaf into ONE f32 numpy buffer (one H2D per frame instead
+    of ~45 — the per-array upload overhead dominates on remote devices).
+    Integer/bool leaves are stored as f32 (all are small counts/flags)."""
+    import jax
+
+    buf = out if out is not None else np.empty(spec.total, np.float32)
+    for leaf, off in zip(jax.tree.leaves(params), spec.offsets):
+        arr = np.asarray(leaf)
+        buf[off : off + arr.size] = arr.astype(np.float32).reshape(-1)
+    return buf
+
+
+def unflatten_frame_params(spec: FrameParamSpec, buffer) -> FrameParams:
+    """Device-side inverse of :func:`flatten_frame_params` (runs under jit)."""
+    import jax
+
+    dummy = FrameParams(*[0] * len(FrameParams._fields))._replace(
+        atmosphere=AtmosphereRaw(*[0] * len(AtmosphereRaw._fields)),
+        spots=SpotRaw(*[0] * len(SpotRaw._fields)),
+    )
+    treedef = jax.tree.structure(dummy)
+    leaves = []
+    for shape, dtype, off in zip(spec.shapes, spec.dtypes, spec.offsets):
+        size = int(np.prod(shape)) if shape else 1
+        leaf = jax.lax.dynamic_slice(buffer, (off,), (size,)).reshape(shape)
+        if dtype != "float32":
+            leaf = leaf.astype(dtype)
+        leaves.append(leaf)
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def prepare_frame_state(params: FrameParams) -> FrameState:
     """Device-side derivation of all per-frame matrices (runs under jit)."""
     # Model matrices: T @ R @ S batched over instances (Transform::toMatrix)
