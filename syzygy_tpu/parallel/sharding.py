@@ -68,7 +68,12 @@ def render_frames_sharded(
         row0 = jax.lax.axis_index("sp") * local_rows
 
         def one_frame(params):
-            return render_frame_rows(geometry, params, config, row0, local_rows)
+            # rows shard over sp; shadow lights also partition over sp and
+            # rejoin via all_gather (light parallelism over ICI)
+            return render_frame_rows(
+                geometry, params, config, row0, local_rows,
+                shadow_shard_axis="sp",
+            )
 
         return jax.vmap(one_frame)(params_local)
 

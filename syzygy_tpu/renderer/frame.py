@@ -30,7 +30,7 @@ from syzygy_tpu.kernels.atmosphere import (
     compute_skyview_lut,
     compute_transmittance_lut,
 )
-from syzygy_tpu.kernels.common import round_up
+from syzygy_tpu.kernels.common import cdiv as cdiv_static, round_up
 from syzygy_tpu.kernels.lighting import deferred_lighting
 from syzygy_tpu.kernels.raster import TILE_H, TILE_W, rasterize, setup_triangles
 from syzygy_tpu.kernels.resolve import (
@@ -97,10 +97,16 @@ def _shadow_pass(
     world_h: jnp.ndarray,  # (V, 4) world positions (homogeneous)
     state: FrameState,
     config: RenderConfig,
+    shard_axis: str | None = None,
 ) -> jnp.ndarray:
     """Depth-only raster per shadow-casting light, vmapped over the light axis
     (``ShadowPassArray::recordDrawCommands`` + ``OffscreenPassGraphicsPipeline``,
-    ``pipelines.cpp:593-806``: front-face culling, reverse-Z)."""
+    ``pipelines.cpp:593-806``: front-face culling, reverse-Z).
+
+    With ``shard_axis`` (inside shard_map) the lights are partitioned across
+    the named mesh axis — light parallelism — and the maps rejoin through an
+    ``all_gather`` over ICI, instead of every device rastering every light.
+    """
     dim = config.shadow_dim
     n_maps = config.n_shadow_maps
 
@@ -136,7 +142,24 @@ def _shadow_pass(
 
     # lax.map (sequential) rather than vmap: each light's triangle setup is
     # O(T) temporary memory, and 18 concurrent copies OOM at ~250k triangles.
-    maps = jax.lax.map(lambda args: one_light(*args), (pv, active))
+    if shard_axis is not None:
+        n_dev = jax.lax.axis_size(shard_axis)
+        my = jax.lax.axis_index(shard_axis)
+        per_dev = cdiv_static(n_maps, n_dev)
+        pad = per_dev * n_dev - n_maps
+        pv_p = jnp.concatenate(
+            [pv, jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (pad, 1, 1))]
+        )
+        active_p = jnp.concatenate([active, jnp.zeros(pad, bool)])
+        pv_local = jax.lax.dynamic_slice(
+            pv_p, (my * per_dev, 0, 0), (per_dev, 4, 4)
+        )
+        active_local = jax.lax.dynamic_slice(active_p, (my * per_dev,), (per_dev,))
+        local = jax.lax.map(lambda args: one_light(*args), (pv_local, active_local))
+        gathered = jax.lax.all_gather(local, shard_axis)  # (n_dev, per_dev, ...)
+        maps = gathered.reshape(n_dev * per_dev, dim, dim)[:n_maps]
+    else:
+        maps = jax.lax.map(lambda args: one_light(*args), (pv, active))
     total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
     if maps.shape[0] < total_lights:
         maps = jnp.concatenate(
@@ -326,6 +349,7 @@ def render_frame_rows(
     config: RenderConfig,
     row0,
     local_rows: int,
+    shadow_shard_axis: str | None = None,
 ) -> jnp.ndarray:
     """Render rows [row0, row0 + local_rows) of the padded frame.
 
