@@ -186,3 +186,33 @@ def test_scene_instancing_applies_node_transform(tmp_path):
     np.testing.assert_allclose(center, [5.0, -2.0, 0.0], atol=1e-5)
     # scale normalization must not distort authored size
     np.testing.assert_allclose(scene.geometry[0].transforms[0].scale, 1.0)
+
+
+def test_glb_writer_roundtrip(tmp_path):
+    from syzygy_tpu.assets import TextureLibrary, register_default_textures, sphere_mesh
+    from syzygy_tpu.assets.gltf_export import write_glb
+
+    lib = TextureLibrary()
+    mat = register_default_textures(lib)
+    mesh = sphere_mesh(mat, rings=8, segments=16)
+    path = str(tmp_path / "sphere.glb")
+    write_glb(path, [mesh])
+    loaded, _ = load_gltf_meshes(path)
+    assert len(loaded) == 1
+    np.testing.assert_array_equal(loaded[0].positions, mesh.positions)
+    np.testing.assert_array_equal(loaded[0].normals, mesh.normals)
+    np.testing.assert_array_equal(loaded[0].triangles, mesh.triangles)
+    np.testing.assert_array_equal(loaded[0].uvs, mesh.uvs)
+
+
+def test_repo_sphere_glb_loads_as_scene():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets", "sphere.glb")
+    scene, library = load_gltf_scene(path)
+    assert len(scene.geometry) == 1
+    mesh = scene.geometry[0].mesh
+    assert mesh.triangles.shape[0] > 1000
+    # unit sphere: radius ~1 everywhere
+    r = np.linalg.norm(mesh.positions, axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-5)
