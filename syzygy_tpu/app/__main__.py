@@ -98,9 +98,15 @@ def main() -> None:
         return
 
     from syzygy_tpu.math.geometry import eulers_from_forward
-    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.renderer import RenderConfig, render_frame_packed
     from syzygy_tpu.runtime import place_on_accelerator
-    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+    from syzygy_tpu.scene import (
+        default_scene,
+        flatten_frame_params,
+        frame_param_spec,
+        pack_frame_params,
+        pack_geometry,
+    )
 
     scene, library = _build_scene(args)
     if args.time_of_day is not None:
@@ -135,6 +141,9 @@ def main() -> None:
     )
     geometry = place_on_accelerator(pack_geometry(scene, library))
     aspect = args.width / args.height
+    params = pack_frame_params(scene, aspect, debug_lines=args.debug_lines)
+    spec = frame_param_spec(params)
+    flat_buf = np.empty(spec.total, np.float32)
 
     fps_history = RingBuffer()
     orbit_radius = None
@@ -171,7 +180,8 @@ def main() -> None:
                 np.asarray(eulers_from_forward(look_target - eye))
             )
         params = pack_frame_params(scene, aspect, debug_lines=args.debug_lines)
-        image = np.asarray(render_frame(geometry, params, config))
+        flat = flatten_frame_params(params, spec, flat_buf)
+        image = np.asarray(render_frame_packed(geometry, flat, spec, config))
         dt = time.perf_counter() - t0
         if frame_idx == 0:
             log.info("first frame (incl. compile): %.1fs", dt)
