@@ -16,8 +16,37 @@ import time
 import numpy as np
 
 
+def _wait_healthy(attempts: int = 20, sleep_s: float = 30.0) -> bool:
+    """The TPU tunnel can stay wedged for minutes after a fault; gate on a
+    trivial op so a transient outage doesn't void the benchmark."""
+    import jax
+    import jax.numpy as jnp
+
+    for _ in range(attempts):
+        try:
+            jax.block_until_ready(jax.jit(lambda x: x.sum())(jnp.ones(8)))
+            return True
+        except Exception:
+            time.sleep(sleep_s)
+    return False
+
+
 def main() -> None:
     import jax
+
+    if not _wait_healthy():
+        print(
+            json.dumps(
+                {
+                    "metric": "ms/frame, 1920x1080 full deferred+atmosphere frame",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": "device unavailable",
+                }
+            )
+        )
+        return
 
     from syzygy_tpu.math.geometry import eulers_from_forward
     from syzygy_tpu.renderer import RenderConfig, render_frame_packed
@@ -64,42 +93,55 @@ def main() -> None:
 
     from syzygy_tpu.runtime import place_on_accelerator
 
-    geometry = place_on_accelerator(pack_geometry(scene, library))
     aspect = width / height
 
-    # warm up / compile (flattened params: one H2D per frame)
-    params0 = pack_frame_params(scene, aspect)
-    spec = frame_param_spec(params0)
-    buf = np.empty(spec.total, np.float32)
-    image = render_frame_packed(
-        geometry, flatten_frame_params(params0, spec, buf), spec, config
-    )
-    jax.block_until_ready(image)
+    def measure() -> float:
+        geometry = place_on_accelerator(pack_geometry(scene, library))
+        # warm up / compile (flattened params: one H2D per frame)
+        params0 = pack_frame_params(scene, aspect)
+        spec = frame_param_spec(params0)
+        buf = np.empty(spec.total, np.float32)
+        image = render_frame_packed(
+            geometry, flatten_frame_params(params0, spec, buf), spec, config
+        )
+        jax.block_until_ready(image)
 
-    frames = 30
-    in_flight = []
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        scene.tick(1.0 / 60.0)
-        params = pack_frame_params(scene, aspect)
-        flat = flatten_frame_params(params, spec, buf)
-        in_flight.append(render_frame_packed(geometry, flat, spec, config))
-        if len(in_flight) > 2:  # 2 frames in flight (framebuffer.cpp:134)
-            jax.block_until_ready(in_flight.pop(0))
-    jax.block_until_ready(in_flight)
-    ms_per_frame = (time.perf_counter() - t0) / frames * 1000.0
+        frames = 30
+        in_flight = []
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            scene.tick(1.0 / 60.0)
+            params = pack_frame_params(scene, aspect)
+            flat = flatten_frame_params(params, spec, buf)
+            in_flight.append(render_frame_packed(geometry, flat, spec, config))
+            if len(in_flight) > 2:  # 2 frames in flight (framebuffer.cpp:134)
+                jax.block_until_ready(in_flight.pop(0))
+        jax.block_until_ready(in_flight)
+        return (time.perf_counter() - t0) / frames * 1000.0
+
+    ms_per_frame = None
+    error = None
+    for attempt in range(3):
+        try:
+            ms_per_frame = measure()
+            break
+        except Exception as e:  # transient tunnel faults: wait and retry
+            error = f"{type(e).__name__}: {str(e)[:120]}"
+            if not _wait_healthy():
+                break
 
     baseline_ms = 16.6
-    print(
-        json.dumps(
-            {
-                "metric": "ms/frame, 1920x1080 full deferred+atmosphere frame",
-                "value": round(ms_per_frame, 3),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / ms_per_frame, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "ms/frame, 1920x1080 full deferred+atmosphere frame",
+        "value": round(ms_per_frame, 3) if ms_per_frame else None,
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms_per_frame, 3)
+        if ms_per_frame
+        else None,
+    }
+    if ms_per_frame is None:
+        result["error"] = error
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
