@@ -75,6 +75,10 @@ def main() -> None:
     parser.add_argument("--camera-look", type=str, default=None, help="x,y,z")
     parser.add_argument("--orbit", action="store_true",
                         help="orbit the camera around the look target")
+    parser.add_argument("--input-script", type=str, default=None,
+                        help="JSON list of per-frame {keys: 'wasdqe' string, "
+                             "cursor: [dx, dy]} entries replayed through the "
+                             "fly-camera input handler")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -145,6 +149,13 @@ def main() -> None:
     spec = frame_param_spec(params)
     flat_buf = np.empty(spec.total, np.float32)
 
+    input_script = None
+    if args.input_script:
+        import json
+
+        with open(args.input_script) as f:
+            input_script = json.load(f)
+
     fps_history = RingBuffer()
     orbit_radius = None
     if args.orbit:
@@ -165,6 +176,13 @@ def main() -> None:
     t_total = time.perf_counter()
     for frame_idx in range(args.frames):
         t0 = time.perf_counter()
+        if input_script:
+            entry = input_script[frame_idx % len(input_script)]
+            scene.handle_input(
+                args.dt,
+                cursor_delta=tuple(entry.get("cursor", (0.0, 0.0))),
+                keys=frozenset(entry.get("keys", "")),
+            )
         if args.orbit:
             angle = orbit_phase + frame_idx * 2.0 * math.pi / max(args.frames, 1)
             eye = look_target + np.array(
