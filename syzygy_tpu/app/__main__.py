@@ -236,7 +236,6 @@ def _dump_gbuffer(args, geometry, params, config) -> None:
     import jax.numpy as jnp
 
     from syzygy_tpu.renderer.frame import _stage_geometry
-    from syzygy_tpu.scene.pack import prepare_frame_state
     from syzygy_tpu.utils import write_png
 
     state, vis, gbuffer, shadow_maps = _stage_geometry(geometry, params, config)

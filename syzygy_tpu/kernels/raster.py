@@ -111,7 +111,6 @@ def setup_triangles(
     eye_bary = jnp.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], jnp.float32)
     vb = eye_bary[gather]  # (T, 3, 2)
 
-    wv = v[..., 3]
     v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
     b0c, b1c, b2c = vb[:, 0], vb[:, 1], vb[:, 2]
 

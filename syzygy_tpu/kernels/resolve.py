@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from syzygy_tpu.kernels.raster import TriSetup, VisibilityBuffer
-from syzygy_tpu.scene.pack import FrameState, GeometryStatic
+from syzygy_tpu.scene.pack import GeometryStatic
 
 
 class GBuffer(NamedTuple):
