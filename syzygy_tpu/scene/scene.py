@@ -98,14 +98,15 @@ class MeshInstance:
     transforms: list = dataclasses.field(default_factory=list)
 
     def tick(self, time_elapsed: float, delta_time: float) -> None:
-        """Instance animations (``scene.cpp:463-527``)."""
+        """Instance animations (``scene.cpp:463-527``), vectorized over the
+        instance's transforms (large animated scenes tick thousands)."""
         if self.animation == InstanceAnimation.DIAGONAL_WAVE:
-            for original, current in zip(self.originals, self.transforms):
-                offset = (
-                    original.translation[0] + 10.0 + original.translation[2] + 10.0
-                ) / 3.1415
-                current.translation = original.translation + np.array(
-                    [0.0, math.sin(time_elapsed + offset), 0.0], np.float32
+            orig = np.stack([t.translation for t in self.originals])
+            offset = (orig[:, 0] + 10.0 + orig[:, 2] + 10.0) / 3.1415
+            y = orig[:, 1] + np.sin(time_elapsed + offset).astype(np.float32)
+            for i, current in enumerate(self.transforms):
+                current.translation = np.array(
+                    [orig[i, 0], y[i], orig[i, 2]], np.float32
                 )
         elif self.animation == InstanceAnimation.SPIN_ALONG_WORLD_UP:
             for current in self.transforms:
