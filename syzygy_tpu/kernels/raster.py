@@ -439,3 +439,203 @@ def rasterize(
         interpret=use_interpret(),
     )(setup.chunk_mask, setup.coeffs)
     return VisibilityBuffer(depth=depth, tri=tri, b0=b0, b1=b1)
+
+
+# ---------------------------------------------------------------------------
+# compact-list raster (v2): per-tile chunk lists via scalar prefetch
+# ---------------------------------------------------------------------------
+
+
+def build_tile_lists(setup: TriSetup, capacity: int, chunk: int = CHUNK):
+    """Per-tile compacted chunk lists from the overlap mask.
+
+    Returns (table (tiles, capacity) i32, dropped scalar i32). Padding (and
+    steps past a tile's count) point at a dedicated all-invalid chunk id; a
+    repeated block index costs no re-fetch, so padded grid steps are ~free.
+    Overflowing chunks (count > capacity) are DROPPED — callers must check
+    ``dropped == 0`` or size ``capacity`` for the scene (the reference's
+    shadow-map overflow warning analog, shadowpass.cpp:219-225).
+    """
+    chunks_pad, n_tiles = setup.chunk_mask.shape
+    n_chunks = setup.coeffs.shape[0] // chunk
+    active = setup.chunk_mask[:n_chunks].astype(bool)  # (C, T)
+    # stable argsort of (!active) puts active chunks first, ascending id —
+    # preserving submission order for depth ties
+    order = jnp.argsort(~active, axis=0, stable=True).astype(jnp.int32)  # (C, T)
+    counts = active.sum(axis=0)  # (T,)
+    cap = min(capacity, n_chunks)
+    step = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
+    empty_chunk = jnp.int32(n_chunks)  # one past the end: the zero pad chunk
+    table = jnp.where(step < counts[None, :], order[:cap], empty_chunk)
+    dropped = jnp.maximum(counts - cap, 0).sum()
+    return table.T, dropped  # (tiles, cap)
+
+
+def _raster_kernel_listed(
+    table_ref,  # scalar prefetch: (tiles, cap) i32 chunk ids
+    coeffs_ref,  # VMEM (CHUNK, 12) f32 — the chunk named by the table
+    depth_ref,
+    tri_ref,
+    b0_ref,
+    b1_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+    tiles_x: int,
+    depth_only: bool,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    s = pl.program_id(2)
+    c = table_ref[ty * tiles_x + tx, s]  # the CHUNK this step processes
+
+    @pl.when(s == 0)
+    def _init():
+        depth_ref[:] = jnp.zeros_like(depth_ref)
+        if not depth_only:
+            tri_ref[:] = jnp.full_like(tri_ref, -1)
+            b0_ref[:] = jnp.zeros_like(b0_ref)
+            b1_ref[:] = jnp.zeros_like(b1_ref)
+
+    @pl.when(jnp.max(coeffs_ref[:, 9]) > 0.0)  # skip the empty pad chunk
+    def _work():
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+            jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+            jnp.float32
+        )
+        px = tx.astype(jnp.float32) * tile_w + col + 0.5
+        py = ty.astype(jnp.float32) * tile_h + row + 0.5
+
+        def body(t, _):
+            a0 = coeffs_ref[t, 0]
+            be0 = coeffs_ref[t, 1]
+            g0 = coeffs_ref[t, 2]
+            a1 = coeffs_ref[t, 3]
+            be1 = coeffs_ref[t, 4]
+            g1 = coeffs_ref[t, 5]
+            z2 = coeffs_ref[t, 6]
+            dz0 = coeffs_ref[t, 7]
+            dz1 = coeffs_ref[t, 8]
+            valid = coeffs_ref[t, 9]
+
+            bb0 = a0 + be0 * px + g0 * py
+            bb1 = a1 + be1 * px + g1 * py
+            bb2 = 1.0 - bb0 - bb1
+            z = z2 + dz0 * bb0 + dz1 * bb1
+
+            current = depth_ref[:]
+            hit = (
+                (bb0 >= 0.0)
+                & (bb1 >= 0.0)
+                & (bb2 >= 0.0)
+                & (z >= current)
+                & (z <= 1.0)
+                & (z >= 0.0)
+                & (valid > 0.0)
+            )
+            depth_ref[:] = jnp.where(hit, z, current)
+            if not depth_only:
+                tid = c * chunk + t
+                tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
+                b0_ref[:] = jnp.where(hit, bb0, b0_ref[:])
+                b1_ref[:] = jnp.where(hit, bb1, b1_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "capacity", "tile_h", "tile_w", "chunk", "depth_only",
+    ),
+)
+def rasterize_listed(
+    setup: TriSetup,
+    width: int,
+    height: int,
+    capacity: int,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = CHUNK,
+    depth_only: bool = False,
+):
+    """Compact-list variant of :func:`rasterize`: the grid's chunk axis is
+    ``capacity`` (max chunks any tile may see) instead of ALL chunks; each
+    step DMAs exactly the chunk its tile needs. Returns (vis, dropped) —
+    ``dropped > 0`` means ``capacity`` was too small and triangles were lost.
+    """
+    assert width % tile_w == 0 and height % tile_h == 0, (width, height)
+    tiles_y, tiles_x = height // tile_h, width // tile_w
+    n_chunks = setup.coeffs.shape[0] // chunk
+    cap = min(capacity, n_chunks)
+    table_bytes = tiles_y * tiles_x * cap * 4
+    if table_bytes > 512 * 1024:  # prefetch table must fit SMEM (~1 MB)
+        raise ValueError(
+            f"tile-list table {table_bytes} B exceeds the SMEM budget; "
+            f"reduce capacity (= {cap}) or use rasterize() for scenes this "
+            "dense/incoherent"
+        )
+
+    table, dropped = build_tile_lists(setup, cap, chunk)
+    # one extra all-invalid chunk as the padding target
+    coeffs = jnp.concatenate(
+        [setup.coeffs, jnp.zeros((chunk, _COEFF_WIDTH), jnp.float32)], axis=0
+    )
+
+    kernel = functools.partial(
+        _raster_kernel_listed,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        chunk=chunk,
+        tiles_x=tiles_x,
+        depth_only=depth_only,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]
+    if not depth_only:
+        out_shape += [
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ]
+
+    tile_spec = pl.BlockSpec(
+        (tile_h, tile_w), lambda ty, tx, s, tbl: (ty, tx), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x, cap),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, _COEFF_WIDTH),
+                lambda ty, tx, s, tbl: (tbl[ty * tiles_x + tx, s], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[tile_spec] * len(out_shape),
+    )
+
+    if depth_only:
+        def kernel_depth(tbl, coeffs_ref, depth_ref):
+            kernel(tbl, coeffs_ref, depth_ref, None, None, None)
+
+        (depth,) = pl.pallas_call(
+            kernel_depth,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=use_interpret(),
+        )(table, coeffs)
+        empty = jnp.zeros((0, 0))
+        return VisibilityBuffer(depth=depth, tri=empty, b0=empty, b1=empty), dropped
+
+    depth, tri, b0, b1 = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=use_interpret(),
+    )(table, coeffs)
+    return VisibilityBuffer(depth=depth, tri=tri, b0=b0, b1=b1), dropped

@@ -32,7 +32,14 @@ from syzygy_tpu.kernels.atmosphere import (
 )
 from syzygy_tpu.kernels.common import cdiv as cdiv_static, round_up
 from syzygy_tpu.kernels.lighting import deferred_lighting
-from syzygy_tpu.kernels.raster import TILE_H, TILE_W, rasterize, setup_triangles
+from syzygy_tpu.kernels.raster import (
+    CHUNK,
+    TILE_H,
+    TILE_W,
+    rasterize,
+    rasterize_listed,
+    setup_triangles,
+)
 from syzygy_tpu.kernels.resolve import (
     resolve_gbuffer,
     transform_normals,
@@ -50,6 +57,22 @@ from syzygy_tpu.scene.pack import (
 )
 
 N_DIRECTIONAL = 2  # sun + moon (renderer.cpp:311-328)
+
+
+def _dispatch_raster(setup, width, height, config, depth_only=False):
+    """Pick the compact-list raster when its prefetch table fits SMEM,
+    else fall back to the iterate-all-chunks kernel."""
+    cap = config.tile_list_capacity
+    if cap:
+        tiles = (height // TILE_H) * (width // TILE_W)
+        n_chunks = setup.coeffs.shape[0] // CHUNK
+        cap = min(cap, n_chunks)
+        if tiles * cap * 4 <= 512 * 1024:
+            vis, _dropped = rasterize_listed(
+                setup, width, height, capacity=cap, depth_only=depth_only
+            )
+            return vis
+    return rasterize(setup, width, height, depth_only=depth_only)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +97,12 @@ class RenderConfig:
     # supersampling factor (beyond-reference AA): render at width*ss and
     # box-filter down before the OETF
     supersample: int = 1
+    # per-tile chunk-list raster (kernels/raster.py::rasterize_listed):
+    # bounds the raster grid's chunk axis to this many chunks per tile.
+    # 0 disables (iterate every chunk per tile — correct but slow for
+    # many-chunk scenes). Chunks beyond the capacity are dropped, mirroring
+    # the reference's shadow-map overflow policy (shadowpass.cpp:219-225).
+    tile_list_capacity: int = 448
 
     @property
     def render_width(self) -> int:
@@ -138,7 +167,7 @@ def _shadow_pass(
             tile_h=TILE_H,
             tile_w=TILE_W,
         )
-        return rasterize(setup, dim, dim, depth_only=True).depth
+        return _dispatch_raster(setup, dim, dim, config, depth_only=True).depth
 
     # lax.map (sequential) rather than vmap: each light's triangle setup is
     # O(T) temporary memory, and 18 concurrent copies OOM at ~250k triangles.
@@ -213,7 +242,7 @@ def _stage_geometry(
         grid_height=local_rows,
         grid_origin=(row0, 0),
     )
-    vis = rasterize(setup, config.padded_width, local_rows)
+    vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
     return state, vis, gbuffer, shadow_maps
 
@@ -381,7 +410,7 @@ def render_frame_rows(
         grid_height=local_rows,
         grid_origin=(row0, 0),
     )
-    vis = rasterize(setup, config.padded_width, local_rows)
+    vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
 
     lit = _stage_lighting.__wrapped__(state, gbuffer, shadow_maps)

@@ -204,3 +204,38 @@ def test_many_triangles_multi_chunk():
     vis = run_kernel(tris)
     ref_depth, ref_tri = np_reference_raster(np.asarray(tris), W, H)
     assert_raster_matches(vis, tris, ref_depth, ref_tri)
+
+
+def test_listed_raster_matches_baseline():
+    from syzygy_tpu.kernels.raster import rasterize_listed
+
+    rng = np.random.default_rng(11)
+    n = 200
+    tris = []
+    for i in range(n):
+        cx, cy = rng.uniform(10, W - 10), rng.uniform(10, H - 10)
+        pts = rng.uniform(-15, 15, (3, 2)) + [cx, cy]
+        z = rng.uniform(0.1, 0.9)
+        tris.append([[p[0], p[1], z] for p in pts])
+    clip = screen_to_clip(tris, W, H)
+    triangles = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    setup = setup_triangles(clip, triangles, np.ones(n, bool), W, H, 0)
+    vis_a = rasterize(setup, W, H)
+    vis_b, dropped = rasterize_listed(setup, W, H, capacity=16)
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(vis_a.tri), np.asarray(vis_b.tri))
+    np.testing.assert_array_equal(np.asarray(vis_a.depth), np.asarray(vis_b.depth))
+    np.testing.assert_array_equal(np.asarray(vis_a.b0), np.asarray(vis_b.b0))
+
+
+def test_listed_raster_reports_overflow():
+    from syzygy_tpu.kernels.raster import rasterize_listed
+
+    # 500 triangles all in one tile: chunks-per-tile > capacity 1
+    tris = [[[10.0 + i * 0.01, 10.0, 0.5], [40.0, 12.0, 0.5], [20.0, 40.0, 0.5]]
+            for i in range(500)]
+    clip = screen_to_clip(tris, W, H)
+    triangles = np.arange(500 * 3, dtype=np.int32).reshape(500, 3)
+    setup = setup_triangles(clip, triangles, np.ones(500, bool), W, H, 0)
+    _, dropped = rasterize_listed(setup, W, H, capacity=1)
+    assert int(dropped) > 0
