@@ -449,30 +449,33 @@ def rasterize(
 def build_tile_lists(setup: TriSetup, capacity: int, chunk: int = CHUNK):
     """Per-tile compacted chunk lists from the overlap mask.
 
-    Returns (table (tiles, capacity) i32, dropped scalar i32). Padding (and
-    steps past a tile's count) point at a dedicated all-invalid chunk id; a
-    repeated block index costs no re-fetch, so padded grid steps are ~free.
-    Overflowing chunks (count > capacity) are DROPPED — callers must check
-    ``dropped == 0`` or size ``capacity`` for the scene (the reference's
-    shadow-map overflow warning analog, shadowpass.cpp:219-225).
+    Returns (table (tiles, capacity) i32, counts (tiles,) i32 clamped to
+    capacity, dropped scalar i32). Padding (and steps past a tile's count)
+    points at a dedicated all-invalid chunk id; a repeated block index costs
+    no re-fetch, so padded grid steps are ~free (and the kernel's per-tile
+    count guard skips them entirely). Overflowing chunks (count > capacity)
+    are DROPPED — callers must branch on ``dropped`` (the production
+    dispatcher falls back to :func:`rasterize`; the reference's analog is
+    the shadow-map overflow warning, shadowpass.cpp:219-225).
     """
-    chunks_pad, n_tiles = setup.chunk_mask.shape
     n_chunks = setup.coeffs.shape[0] // chunk
     active = setup.chunk_mask[:n_chunks].astype(bool)  # (C, T)
-    # stable argsort of (!active) puts active chunks first, ascending id —
-    # preserving submission order for depth ties
-    order = jnp.argsort(~active, axis=0, stable=True).astype(jnp.int32)  # (C, T)
-    counts = active.sum(axis=0)  # (T,)
     cap = min(capacity, n_chunks)
-    step = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
     empty_chunk = jnp.int32(n_chunks)  # one past the end: the zero pad chunk
-    table = jnp.where(step < counts[None, :], order[:cap], empty_chunk)
+    # per tile: the first `cap` active chunk ids ascending (submission order
+    # for depth ties) = bottom-k over keys (active -> id, inactive -> C)
+    keys = jnp.where(
+        active.T, jnp.arange(n_chunks, dtype=jnp.int32)[None, :], empty_chunk
+    )  # (T, C)
+    table = -jax.lax.top_k(-keys, cap)[0]  # (T, cap) ascending
+    counts = active.sum(axis=0).astype(jnp.int32)  # (T,)
     dropped = jnp.maximum(counts - cap, 0).sum()
-    return table.T, dropped  # (tiles, cap)
+    return table, jnp.minimum(counts, cap), dropped
 
 
 def _raster_kernel_listed(
     table_ref,  # scalar prefetch: (tiles, cap) i32 chunk ids
+    counts_ref,  # scalar prefetch: (tiles,) i32 list lengths (<= cap)
     coeffs_ref,  # VMEM (CHUNK, 12) f32 — the chunk named by the table
     depth_ref,
     tri_ref,
@@ -488,7 +491,8 @@ def _raster_kernel_listed(
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     s = pl.program_id(2)
-    c = table_ref[ty * tiles_x + tx, s]  # the CHUNK this step processes
+    tile = ty * tiles_x + tx
+    c = table_ref[tile, s]  # the CHUNK this step processes
 
     @pl.when(s == 0)
     def _init():
@@ -498,7 +502,7 @@ def _raster_kernel_listed(
             b0_ref[:] = jnp.zeros_like(b0_ref)
             b1_ref[:] = jnp.zeros_like(b1_ref)
 
-    @pl.when(jnp.max(coeffs_ref[:, 9]) > 0.0)  # skip the empty pad chunk
+    @pl.when(s < counts_ref[tile])  # steps past the list are pure no-ops
     def _work():
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
             jnp.float32
@@ -562,17 +566,22 @@ def rasterize_listed(
     tile_w: int = TILE_W,
     chunk: int = CHUNK,
     depth_only: bool = False,
+    table: jnp.ndarray | None = None,
+    counts: jnp.ndarray | None = None,
 ):
     """Compact-list variant of :func:`rasterize`: the grid's chunk axis is
     ``capacity`` (max chunks any tile may see) instead of ALL chunks; each
     step DMAs exactly the chunk its tile needs. Returns (vis, dropped) —
     ``dropped > 0`` means ``capacity`` was too small and triangles were lost.
+    Callers that must never lose geometry pass a prebuilt ``table``/``counts``
+    (from :func:`build_tile_lists`) and branch on ``dropped`` themselves —
+    see ``renderer.frame._dispatch_raster``.
     """
     assert width % tile_w == 0 and height % tile_h == 0, (width, height)
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_chunks = setup.coeffs.shape[0] // chunk
     cap = min(capacity, n_chunks)
-    table_bytes = tiles_y * tiles_x * cap * 4
+    table_bytes = tiles_y * tiles_x * (cap + 1) * 4
     if table_bytes > 512 * 1024:  # prefetch table must fit SMEM (~1 MB)
         raise ValueError(
             f"tile-list table {table_bytes} B exceeds the SMEM budget; "
@@ -580,7 +589,11 @@ def rasterize_listed(
             "dense/incoherent"
         )
 
-    table, dropped = build_tile_lists(setup, cap, chunk)
+    if table is None:
+        table, counts, dropped = build_tile_lists(setup, cap, chunk)
+    else:
+        assert counts is not None, "table without counts"
+        dropped = jnp.int32(0)
     # one extra all-invalid chunk as the padding target
     coeffs = jnp.concatenate(
         [setup.coeffs, jnp.zeros((chunk, _COEFF_WIDTH), jnp.float32)], axis=0
@@ -604,15 +617,17 @@ def rasterize_listed(
         ]
 
     tile_spec = pl.BlockSpec(
-        (tile_h, tile_w), lambda ty, tx, s, tbl: (ty, tx), memory_space=pltpu.VMEM
+        (tile_h, tile_w),
+        lambda ty, tx, s, tbl, cnt: (ty, tx),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x, cap),
         in_specs=[
             pl.BlockSpec(
                 (chunk, _COEFF_WIDTH),
-                lambda ty, tx, s, tbl: (tbl[ty * tiles_x + tx, s], 0),
+                lambda ty, tx, s, tbl, cnt: (tbl[ty * tiles_x + tx, s], 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -620,15 +635,15 @@ def rasterize_listed(
     )
 
     if depth_only:
-        def kernel_depth(tbl, coeffs_ref, depth_ref):
-            kernel(tbl, coeffs_ref, depth_ref, None, None, None)
+        def kernel_depth(tbl, cnt, coeffs_ref, depth_ref):
+            kernel(tbl, cnt, coeffs_ref, depth_ref, None, None, None)
 
         (depth,) = pl.pallas_call(
             kernel_depth,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=use_interpret(),
-        )(table, coeffs)
+        )(table, counts, coeffs)
         empty = jnp.zeros((0, 0))
         return VisibilityBuffer(depth=depth, tri=empty, b0=empty, b1=empty), dropped
 
@@ -637,5 +652,5 @@ def rasterize_listed(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=use_interpret(),
-    )(table, coeffs)
+    )(table, counts, coeffs)
     return VisibilityBuffer(depth=depth, tri=tri, b0=b0, b1=b1), dropped

@@ -22,7 +22,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from syzygy_tpu.renderer.frame import RenderConfig, render_frame_rows
@@ -77,12 +76,12 @@ def render_frames_sharded(
 
         return jax.vmap(one_frame)(params_local)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P("dp")),
         out_specs=P("dp", "sp", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(geometry, params_batch)  # (B, h_pad, w_pad, 3)
     return out[:, : config.height, : config.width]

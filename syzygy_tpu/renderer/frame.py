@@ -36,6 +36,7 @@ from syzygy_tpu.kernels.raster import (
     CHUNK,
     TILE_H,
     TILE_W,
+    build_tile_lists,
     rasterize,
     rasterize_listed,
     setup_triangles,
@@ -61,18 +62,63 @@ N_DIRECTIONAL = 2  # sun + moon (renderer.cpp:311-328)
 
 def _dispatch_raster(setup, width, height, config, depth_only=False):
     """Pick the compact-list raster when its prefetch table fits SMEM,
-    else fall back to the iterate-all-chunks kernel."""
+    else fall back to the iterate-all-chunks kernel.
+
+    NEVER drops triangles: when a tile's chunk list would overflow
+    ``tile_list_capacity``, the whole raster falls back (``lax.cond``) to the
+    full-iteration kernel — the lossless analog of the reference's
+    shadow-map-overflow warning (``shadowpass.cpp:219-225``).
+    """
     cap = config.tile_list_capacity
+    tile_h, tile_w = config.raster_tile_h, config.raster_tile_w
+    chunk = config.raster_chunk
     if cap:
-        tiles = (height // TILE_H) * (width // TILE_W)
-        n_chunks = setup.coeffs.shape[0] // CHUNK
+        tiles = (height // tile_h) * (width // tile_w)
+        n_chunks = setup.coeffs.shape[0] // chunk
         cap = min(cap, n_chunks)
-        if tiles * cap * 4 <= 512 * 1024:
-            vis, _dropped = rasterize_listed(
-                setup, width, height, capacity=cap, depth_only=depth_only
+        if tiles * (cap + 1) * 4 <= 512 * 1024:
+            table, counts, dropped = build_tile_lists(setup, cap, chunk)
+
+            def listed():
+                vis, _ = rasterize_listed(
+                    setup,
+                    width,
+                    height,
+                    capacity=cap,
+                    tile_h=tile_h,
+                    tile_w=tile_w,
+                    chunk=chunk,
+                    depth_only=depth_only,
+                    table=table,
+                    counts=counts,
+                )
+                return vis
+
+            if cap >= n_chunks:
+                # every tile's list can hold every chunk: dropping impossible
+                return listed()
+            return jax.lax.cond(
+                dropped == 0,
+                listed,
+                lambda: rasterize(
+                    setup,
+                    width,
+                    height,
+                    tile_h=tile_h,
+                    tile_w=tile_w,
+                    chunk=chunk,
+                    depth_only=depth_only,
+                ),
             )
-            return vis
-    return rasterize(setup, width, height, depth_only=depth_only)
+    return rasterize(
+        setup,
+        width,
+        height,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        chunk=chunk,
+        depth_only=depth_only,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,9 +132,12 @@ class RenderConfig:
     width: int = 1920
     height: int = 1080
     shadow_dim: int = 1024  # ref: 8192 (deferred.cpp:179); scaled for HBM
-    # raster budget: sun, moon, first 2 spots; lights beyond it get no shadow
-    # (the reference warns on shadow-map overflow, shadowpass.cpp:219-225)
-    n_shadow_maps: int = 4
+    # shadow-map raster budget: sun, moon, then spots in order — capacity 10
+    # matches the reference's ShadowPassArray (deferred.cpp:179-180,
+    # shadowpass.hpp:36); lights beyond it get no shadow (the reference warns
+    # on overflow, shadowpass.cpp:219-225). Scenes with few lights can lower
+    # this to skip the per-light triangle setup work.
+    n_shadow_maps: int = 10
     skyview_width: int = 2048  # skyview.cpp:175
     skyview_height: int = 1024
     render_atmosphere: bool = True
@@ -100,9 +149,16 @@ class RenderConfig:
     # per-tile chunk-list raster (kernels/raster.py::rasterize_listed):
     # bounds the raster grid's chunk axis to this many chunks per tile.
     # 0 disables (iterate every chunk per tile — correct but slow for
-    # many-chunk scenes). Chunks beyond the capacity are dropped, mirroring
-    # the reference's shadow-map overflow policy (shadowpass.cpp:219-225).
+    # many-chunk scenes). Overflow triggers a lossless lax.cond fallback to
+    # the full-iteration kernel (see _dispatch_raster).
     tile_list_capacity: int = 448
+    # raster work granularity: pixel-tile dims and triangles per coefficient
+    # chunk. Smaller tiles/chunks waste fewer VPU lanes on small triangles in
+    # dense scenes at the cost of more grid steps; padded framebuffer layout
+    # stays at kernels.raster.TILE_H/TILE_W regardless.
+    raster_tile_h: int = 64
+    raster_tile_w: int = 128
+    raster_chunk: int = 64
 
     @property
     def render_width(self) -> int:
@@ -397,14 +453,16 @@ def render_frame_rows(
     world_h = jnp.concatenate(
         [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
     )
-    shadow_maps = _shadow_pass(geometry, world_h, state, config)
+    shadow_maps = _shadow_pass(
+        geometry, world_h, state, config, shard_axis=shadow_shard_axis
+    )
 
     setup = setup_triangles(
         clip,
         geometry.triangles,
         geometry.tri_valid,
-        config.width,
-        config.height,
+        config.render_width,
+        config.render_height,
         cull_keep_sign=+1,
         grid_width=config.padded_width,
         grid_height=local_rows,

@@ -60,7 +60,9 @@ class GeometryStatic(NamedTuple):
     tri_valid: jnp.ndarray  # (T,) bool
     tri_casts_shadow: jnp.ndarray  # (T,) bool
     materials: jnp.ndarray  # (M, 3) i32: color/normal/orm texture ids
-    textures: jnp.ndarray  # (N, S, S, 4) f32, linear light
+    # native-resolution texture atlas (assets/types.py::TextureLibrary):
+    tex_atlas: jnp.ndarray  # (A_h, A_w, 4) f32, linear light
+    tex_rects: jnp.ndarray  # (N, 4) i32 [x0, y0, w, h] per texture
 
 
 class FrameParams(NamedTuple):
@@ -120,10 +122,53 @@ def _renderable(scene: Scene):
     return [i for i in scene.geometry if i.mesh is not None and i.render]
 
 
-def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
-    """Flatten all renderable instances into one padded triangle soup."""
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave three 10-bit integer grids into a 30-bit Morton code."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
+        return v
+
+    return spread(x) | (spread(y) << np.uint64(1)) | (spread(z) << np.uint64(2))
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Spatial sort keys for triangle records (world-space approx).
+
+    The raster's compact tile lists work at CHUNK granularity with a bbox
+    union per chunk (kernels/raster.py); triangles that are adjacent in
+    submission order should be adjacent in space or every chunk smears over
+    many tiles. Mesh-internal index order is usually local, but a scene of
+    many instances interleaves them; one stable Morton sort at pack time
+    (host, numpy, amortized over all frames and every shadow view) restores
+    locality without any per-frame cost.
+    """
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-6)
+    q = ((centroids - lo) / span * 1023.0).astype(np.uint32)
+    q = np.clip(q, 0, 1023)
+    return np.argsort(
+        _morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable"
+    ).astype(np.int64)
+
+
+def pack_geometry(
+    scene: Scene, texture_library, spatial_sort: bool = True
+) -> GeometryStatic:
+    """Flatten all renderable instances into one padded triangle soup.
+
+    ``spatial_sort`` reorders triangle records along a world-space Morton
+    curve (pack-time transforms; animation drift is fine — only locality
+    matters). Rendering is order-independent except for z-ties, where
+    "later submission wins" follows the sorted order.
+    """
     positions, normals, uvs, colors, vert_instance = [], [], [], [], []
-    triangles, tri_material, tri_shadow = [], [], []
+    triangles, tri_material, tri_shadow, tri_centroid = [], [], [], []
     materials: list[tuple[int, int, int]] = []
     material_ids: dict[tuple[int, int, int], int] = {}
 
@@ -131,7 +176,7 @@ def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
     instance_index = 0
     for instance in _renderable(scene):
         mesh = instance.mesh
-        for _ in instance.transforms:
+        for transform in instance.transforms:
             positions.append(mesh.positions)
             normals.append(mesh.normals)
             uvs.append(mesh.uvs)
@@ -139,6 +184,7 @@ def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
             vert_instance.append(
                 np.full(mesh.positions.shape[0], instance_index, np.int32)
             )
+            mat4 = np.asarray(transform.to_matrix(), np.float32)
             for surface in mesh.surfaces:
                 key = (
                     surface.material.color,
@@ -155,6 +201,8 @@ def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
                 triangles.append(tris + vert_base)
                 tri_material.append(np.full(len(tris), mat, np.int32))
                 tri_shadow.append(np.full(len(tris), instance.casts_shadow, bool))
+                centroid = mesh.positions[tris].mean(axis=1)  # (n, 3) object
+                tri_centroid.append(centroid @ mat4[:3, :3].T + mat4[:3, 3])
             vert_base += mesh.positions.shape[0]
             instance_index += 1
 
@@ -170,12 +218,20 @@ def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
     tri_material = np.concatenate(tri_material)
     tri_shadow = np.concatenate(tri_shadow)
 
+    if spatial_sort and triangles.shape[0] > 1:
+        order = _morton_order(np.concatenate(tri_centroid))
+        triangles = triangles[order]
+        tri_material = tri_material[order]
+        tri_shadow = tri_shadow[order]
+
     v_cap = _round_up(positions.shape[0], VERTEX_PAD)
     t_cap = _round_up(triangles.shape[0], TRI_PAD)
     n_tris = triangles.shape[0]
 
     tri_valid = np.zeros(t_cap, bool)
     tri_valid[:n_tris] = True
+
+    atlas, rects = texture_library.as_atlas()
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),
@@ -190,7 +246,8 @@ def pack_geometry(scene: Scene, texture_library) -> GeometryStatic:
             _pad_rows(tri_shadow.astype(bool), t_cap, False)
         ),
         materials=jnp.asarray(np.asarray(materials, np.int32).reshape(-1, 3)),
-        textures=jnp.asarray(texture_library.as_array()),
+        tex_atlas=jnp.asarray(atlas),
+        tex_rects=jnp.asarray(rects),
     )
 
 

@@ -115,6 +115,72 @@ def test_graft_entry_contract():
     assert bool(jax.numpy.isfinite(out).all())
 
 
+def test_light_parallel_shadow_maps_match_serial(frame_setup):
+    """The sp-partitioned shadow pass (lights sharded over the mesh axis,
+    rejoined via all_gather) must produce bit-identical maps to the serial
+    lax.map path."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from syzygy_tpu.parallel import make_mesh
+    from syzygy_tpu.renderer.frame import _shadow_pass
+    from syzygy_tpu.scene.pack import prepare_frame_state
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    _, geometry, params, config = frame_setup
+    state = prepare_frame_state(params)
+    from syzygy_tpu.kernels.resolve import transform_positions
+
+    proj_view = state.camera.projection @ state.camera.view
+    _, world = transform_positions(
+        geometry.positions, geometry.vert_instance, state.models, proj_view
+    )
+    world_h = jnp.concatenate(
+        [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
+    )
+
+    serial = np.asarray(_shadow_pass(geometry, world_h, state, config))
+
+    mesh = make_mesh(dp=1, sp=4)
+    fn = jax.shard_map(
+        lambda g, w, s: _shadow_pass(g, w, s, config, shard_axis="sp"),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    sharded = np.asarray(fn(geometry, world_h, state))
+    np.testing.assert_array_equal(serial, sharded)
+
+
+def test_sharded_supersampling_matches_staged(frame_setup):
+    """SSAA through the sharded row path must match the staged path
+    (regression: render_frame_rows once used width/height instead of
+    render_width/render_height for triangle setup)."""
+    import dataclasses
+
+    from syzygy_tpu.parallel import (
+        batch_params,
+        make_mesh,
+        render_frames_sharded,
+        replicate_to_mesh,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    _, geometry, params, config = frame_setup
+    cfg = dataclasses.replace(config, supersample=2)
+    mesh = make_mesh(dp=1, sp=2)
+    batch = batch_params([params])
+    geo_r = replicate_to_mesh(geometry, mesh)
+    out = np.asarray(render_frames_sharded(geo_r, batch, cfg, mesh))
+    single = np.asarray(render_frame(geometry, params, cfg))
+    assert out.shape == (1, H, W, 3)
+    np.testing.assert_allclose(out[0], single, atol=1e-2)
+    assert np.abs(out[0] - single).mean() < 2e-3
+
+
 def test_supersampling_shape_and_smoothing(frame_setup):
     import dataclasses
 

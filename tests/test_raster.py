@@ -239,3 +239,34 @@ def test_listed_raster_reports_overflow():
     setup = setup_triangles(clip, triangles, np.ones(500, bool), W, H, 0)
     _, dropped = rasterize_listed(setup, W, H, capacity=1)
     assert int(dropped) > 0
+
+
+def test_dispatch_raster_lossless_on_overflow():
+    """An over-capacity scene must render pixel-identical to the full kernel:
+    the production dispatcher falls back instead of silently dropping."""
+    import dataclasses
+
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.renderer.frame import _dispatch_raster
+
+    rng = np.random.default_rng(3)
+    n = 500  # 1000 clipped slots -> 16 chunks, all overlapping one tile
+    tris = []
+    for _ in range(n):
+        cx, cy = rng.uniform(10, 100), rng.uniform(10, 50)
+        pts = rng.uniform(-8, 8, (3, 2)) + [cx, cy]
+        z = rng.uniform(0.1, 0.9)
+        tris.append([[p[0], p[1], z] for p in pts])
+    clip = screen_to_clip(tris, W, H)
+    triangles = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    setup = setup_triangles(clip, triangles, np.ones(n, bool), W, H, 0)
+
+    cfg_tiny = RenderConfig(width=W, height=H, tile_list_capacity=1)
+    cfg_full = RenderConfig(width=W, height=H, tile_list_capacity=0)
+    vis_a = _dispatch_raster(setup, W, H, cfg_tiny)
+    vis_b = _dispatch_raster(setup, W, H, cfg_full)
+    np.testing.assert_array_equal(np.asarray(vis_a.tri), np.asarray(vis_b.tri))
+    np.testing.assert_array_equal(
+        np.asarray(vis_a.depth), np.asarray(vis_b.depth)
+    )
+    np.testing.assert_array_equal(np.asarray(vis_a.b0), np.asarray(vis_b.b0))
