@@ -124,12 +124,16 @@ def main() -> None:
         look_target = np.asarray(
             [float(v) for v in args.camera_look.split(",")], np.float32
         )
+    # Default framing: the showcase view (the scene's own default camera
+    # starts 2 units from a cube face — fine for the reference's fly-camera
+    # editor, useless for headless output).
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
     if args.camera_pos:
         eye = np.asarray([float(v) for v in args.camera_pos.split(",")], np.float32)
-        scene.camera.position = tuple(eye)
-        scene.camera.euler_angles = tuple(
-            np.asarray(eulers_from_forward(look_target - eye))
-        )
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(look_target - eye))
+    )
     scene.tick(0.0)
 
     config = RenderConfig(

@@ -5,7 +5,6 @@ from syzygy_tpu.assets.defaults import (
     sphere_mesh,
 )
 from syzygy_tpu.assets.types import (
-    DEFAULT_TEXTURE_SIZE,
     GeometrySurface,
     MaterialData,
     Mesh,
@@ -18,7 +17,6 @@ __all__ = [
     "plane_mesh",
     "register_default_textures",
     "sphere_mesh",
-    "DEFAULT_TEXTURE_SIZE",
     "GeometrySurface",
     "MaterialData",
     "Mesh",

@@ -4,9 +4,10 @@ Mirrors ``assets/assets.hpp:30-244`` (``Mesh``, ``GeometrySurface``,
 ``MaterialData``) and the texture registry half of ``AssetLibrary``. TPU-first
 differences from the Vulkan reference:
 
-* Textures live in one fixed-shape array ``(N, S, S, 4) float32`` (linear
-  light), replacing descriptor sets — per-pixel sampling is a gather indexed
-  by material id. All textures are resampled to ``S x S`` at registration.
+* Textures keep their native resolutions and are packed into ONE padded
+  2D atlas ``(A_h, A_w, 4) float32`` (linear light) with a per-texture rect
+  table, replacing descriptor sets — per-pixel sampling is a static-shape
+  gather indexed by material id (see ``kernels.resolve.sample_atlas_repeat``).
 * Meshes are SoA numpy arrays; GPU upload happens when a Scene is packed into
   the static-shape device batch (see ``syzygy_tpu.scene.pack``).
 """
@@ -18,7 +19,6 @@ from typing import Optional
 
 import numpy as np
 
-DEFAULT_TEXTURE_SIZE = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,10 +73,21 @@ def srgb_to_linear(srgb: np.ndarray) -> np.ndarray:
 
 
 class TextureLibrary:
-    """Registry of same-sized float32 textures (replaces descriptor arrays)."""
+    """Registry of native-resolution float32 textures.
 
-    def __init__(self, size: int = DEFAULT_TEXTURE_SIZE):
-        self.size = size
+    Replaces the reference's per-image descriptor sets (``assets.cpp:470-575``
+    decodes each glTF image at SOURCE resolution with a per-image sRGB/UNORM
+    choice). TPU-first shape discipline: at pack time every texture is placed
+    into ONE padded 2D atlas (:meth:`as_atlas`) so per-pixel sampling stays a
+    static-shape gather; each texture keeps its own resolution and REPEAT
+    wrapping via a per-texture rect table.
+
+    ``max_size`` only CAPS oversized inputs (downsampled to fit); smaller
+    textures are stored as-is.
+    """
+
+    def __init__(self, max_size: int = 1024):
+        self.max_size = max_size
         self._textures: list[np.ndarray] = []
         self._names: dict[str, int] = {}
 
@@ -100,7 +111,12 @@ class TextureLibrary:
             img = np.concatenate(
                 [srgb_to_linear(img[..., :3]), img[..., 3:]], axis=-1
             )
-        img = _resize_bilinear(img, self.size, self.size)
+        h, w = img.shape[:2]
+        if max(h, w) > self.max_size:
+            s = self.max_size / max(h, w)
+            img = _resize_bilinear(
+                img, max(int(round(h * s)), 1), max(int(round(w * s)), 1)
+            )
         idx = len(self._textures)
         self._textures.append(np.ascontiguousarray(img, np.float32))
         self._names[name] = idx
@@ -109,14 +125,60 @@ class TextureLibrary:
     def lookup(self, name: str) -> Optional[int]:
         return self._names.get(name)
 
-    def as_array(self) -> np.ndarray:
-        """(N, S, S, 4) float32 stack for device upload."""
+    def get(self, idx: int) -> np.ndarray:
+        """The registered texture at native resolution, (H, W, 4) f32."""
+        return self._textures[idx]
+
+    def as_atlas(self) -> tuple[np.ndarray, np.ndarray]:
+        """Pack all textures into one atlas.
+
+        Returns (atlas (A_h, A_w, 4) f32, rects (N, 4) i32 [x0, y0, w, h]).
+        Shelf packing by descending height; atlas width is the smallest
+        power of two >= the widest texture (min 128 for VPU lane alignment),
+        height padded to a multiple of 8 (f32 sublane tile).
+        """
         if not self._textures:
-            return np.zeros((1, self.size, self.size, 4), np.float32)
-        return np.stack(self._textures)
+            atlas = np.zeros((8, 128, 4), np.float32)
+            return atlas, np.asarray([[0, 0, 1, 1]], np.int32)
+        order = sorted(
+            range(len(self._textures)),
+            key=lambda i: -self._textures[i].shape[0],
+        )
+        max_w = max(t.shape[1] for t in self._textures)
+        width = 128
+        while width < max_w:
+            width *= 2
+        total_area = sum(t.shape[0] * t.shape[1] for t in self._textures)
+        while width * width < total_area and width < 8192:
+            width *= 2
+
+        rects = np.zeros((len(self._textures), 4), np.int64)
+        shelf_y = 0
+        shelf_h = 0
+        cursor_x = 0
+        for i in order:
+            h, w = self._textures[i].shape[:2]
+            if cursor_x + w > width:
+                shelf_y += shelf_h
+                shelf_h = 0
+                cursor_x = 0
+            rects[i] = (cursor_x, shelf_y, w, h)
+            cursor_x += w
+            shelf_h = max(shelf_h, h)
+        height = _round_up8(shelf_y + shelf_h)
+
+        atlas = np.zeros((height, width, 4), np.float32)
+        for i, tex in enumerate(self._textures):
+            x0, y0, w, h = rects[i]
+            atlas[y0 : y0 + h, x0 : x0 + w] = tex
+        return atlas, rects.astype(np.int32)
 
     def __len__(self) -> int:
         return len(self._textures)
+
+
+def _round_up8(n: int) -> int:
+    return (int(n) + 7) // 8 * 8
 
 
 def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -7,6 +7,7 @@ from syzygy_tpu.kernels.raster import (
 from syzygy_tpu.kernels.resolve import (
     GBuffer,
     resolve_gbuffer,
+    sample_atlas_repeat,
     sample_bilinear_repeat,
     transform_normals,
     transform_positions,
@@ -26,6 +27,7 @@ __all__ = [
     "setup_triangles",
     "GBuffer",
     "resolve_gbuffer",
+    "sample_atlas_repeat",
     "sample_bilinear_repeat",
     "transform_normals",
     "transform_positions",

@@ -88,6 +88,43 @@ def sample_bilinear_repeat(
     return top * (1.0 - fy) + bot * fy
 
 
+def sample_atlas_repeat(
+    tex_ids: jnp.ndarray,  # (...,) i32 into the rect table
+    atlas: jnp.ndarray,  # (A_h, A_w, 4) f32
+    rects: jnp.ndarray,  # (N, 4) i32 [x0, y0, w, h]
+    uv: jnp.ndarray,  # (..., 2)
+) -> jnp.ndarray:
+    """Bilinear + REPEAT sampling from the native-resolution texture atlas.
+
+    Each texture keeps its source resolution (the reference decodes images
+    at native size, ``assets.cpp:470-575``); REPEAT wraps within the
+    texture's own rect, and all four taps are wrapped per-texel before the
+    atlas offset is applied, so filtering is seam-correct across the wrap.
+    """
+    r = rects[tex_ids]  # (..., 4)
+    x0r, y0r = r[..., 0], r[..., 1]
+    w = r[..., 2]
+    h = r[..., 3]
+    p_x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    p_y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    fx0 = jnp.floor(p_x)
+    fy0 = jnp.floor(p_y)
+    fracx = (p_x - fx0)[..., None]
+    fracy = (p_y - fy0)[..., None]
+    ix0 = jnp.mod(fx0.astype(jnp.int32), w)
+    iy0 = jnp.mod(fy0.astype(jnp.int32), h)
+    ix1 = jnp.where(ix0 + 1 >= w, 0, ix0 + 1)
+    iy1 = jnp.where(iy0 + 1 >= h, 0, iy0 + 1)
+
+    t00 = atlas[y0r + iy0, x0r + ix0]
+    t10 = atlas[y0r + iy0, x0r + ix1]
+    t01 = atlas[y0r + iy1, x0r + ix0]
+    t11 = atlas[y0r + iy1, x0r + ix1]
+    top = t00 * (1.0 - fracx) + t10 * fracx
+    bot = t01 * (1.0 - fracx) + t11 * fracx
+    return top * (1.0 - fracy) + bot * fracy
+
+
 def _cotangent_frame_normal(
     n: jnp.ndarray,  # (H, W, 3) interpolated vertex normal
     dp1: jnp.ndarray,  # (H, W, 3) triangle world edge 1
@@ -160,9 +197,10 @@ def resolve_gbuffer(
     uv = interp(geometry.uvs)
 
     mat = geometry.materials[geometry.tri_material[orig]]  # (H, W, 3)
-    color_tex = sample_bilinear_repeat(mat[..., 0], geometry.textures, uv)
-    normal_tex = sample_bilinear_repeat(mat[..., 1], geometry.textures, uv)
-    orm_tex = sample_bilinear_repeat(mat[..., 2], geometry.textures, uv)
+    atlas, rects = geometry.tex_atlas, geometry.tex_rects
+    color_tex = sample_atlas_repeat(mat[..., 0], atlas, rects, uv)
+    normal_tex = sample_atlas_repeat(mat[..., 1], atlas, rects, uv)
+    orm_tex = sample_atlas_repeat(mat[..., 2], atlas, rects, uv)
 
     # Normal map decode (offscreen.frag:50-55): unsigned -> signed, green-up
     nmap = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)

@@ -109,8 +109,12 @@ def _hit_planet(atmo, origin, direction):
     return hit & (t0 > 0.0), t0
 
 
-def sample_ground(atmo, transmittance_lut, origin, direction, dist):
-    """``sampleGround`` (``camera.comp:203-235``)."""
+def sample_ground(atmo, transmittance_lut, origin, direction, dist, aerial=None):
+    """``sampleGround`` (``camera.comp:203-235``).
+
+    ``aerial`` optionally injects a precomputed in-scattering integral for
+    the same (origin, direction, dist) — the caller may share ONE integral
+    across mutually-exclusive branches (see :func:`sky_camera_pass`)."""
     surface = origin + dist[..., None] * direction
     surface_normal = surface / _norm3(surface)
     light_dir = -atmo.incident_direction_sun
@@ -134,17 +138,26 @@ def sample_ground(atmo, transmittance_lut, origin, direction, dist):
     )
     surface_lum = t_sun * albedo * nl
     t_surface = sample_transmittance_segment(transmittance_lut, atmo, origin, surface)
-    aerial = luminance_scattering_integral(
-        atmo, transmittance_lut, origin, direction, dist
-    )
+    if aerial is None:
+        aerial = luminance_scattering_integral(
+            atmo, transmittance_lut, origin, direction, dist
+        )
     return surface_lum * t_surface + aerial
 
 
-def sample_environment(atmo, transmittance_lut, skyview_lut, position, direction):
+def sample_environment(
+    atmo, transmittance_lut, skyview_lut, position, direction,
+    hit_dist=None, aerial=None,
+):
     """``sampleEnvironmentLuminanceTransfer`` (``camera.comp:286-301``)
     (the sunShadowFactor multiplies only the sun disk at the call sites)."""
-    hit, dist = _hit_planet(atmo, position, direction)
-    ground = sample_ground(atmo, transmittance_lut, position, direction, dist)
+    if hit_dist is None:
+        hit, dist = _hit_planet(atmo, position, direction)
+    else:
+        hit, dist = hit_dist
+    ground = sample_ground(
+        atmo, transmittance_lut, position, direction, dist, aerial=aerial
+    )
     sky = sample_skyview(atmo, skyview_lut, position, direction)
     disk = sample_sun_disk(atmo, transmittance_lut, position, direction)
     return jnp.where(hit[..., None], ground, sky), jnp.where(
@@ -154,7 +167,7 @@ def sample_environment(atmo, transmittance_lut, skyview_lut, position, direction
 
 def geometry_luminance_transfer(
     atmo, transmittance_lut, origin, direction, material_pos, material: PBRTexel,
-    shadow_factor,
+    shadow_factor, aerial=None,
 ):
     """``computeGeometryLuminanceTransfer`` (``camera.comp:237-278``)."""
     surface = material_pos
@@ -182,10 +195,11 @@ def geometry_luminance_transfer(
         * (diffuse * (1.0 - fresnel) + specular * fresnel)
         * nl
     )
-    dist = jnp.linalg.norm(surface - origin, axis=-1)
-    aerial = luminance_scattering_integral(
-        atmo, transmittance_lut, origin, direction, dist
-    )
+    if aerial is None:
+        dist = jnp.linalg.norm(surface - origin, axis=-1)
+        aerial = luminance_scattering_integral(
+            atmo, transmittance_lut, origin, direction, dist
+        )
     return surface_transfer + aerial
 
 
@@ -247,9 +261,23 @@ def sky_camera_pass(
 
     pos_grid = jnp.broadcast_to(position, direction.shape)
 
+    # Branches A (environment) and B (geometry) are mutually exclusive per
+    # pixel, so their 32-step in-scattering integrals — the pass's dominant
+    # cost — collapse into ONE shared integral over a per-pixel distance
+    # (identical to computing both and selecting: only the selected branch's
+    # value survives the jnp.where below).
+    is_env = (scene_depth == 0.0) | (material.position[..., 1] > 0.0)
+    hit, dist_planet = _hit_planet(atmo, pos_grid, direction)
+    dist_surface = jnp.linalg.norm(sky_material.position - pos_grid, axis=-1)
+    shared_dist = jnp.where(is_env, dist_planet, dist_surface)
+    shared_aerial = luminance_scattering_integral(
+        atmo, transmittance_lut, pos_grid, direction, shared_dist
+    )
+
     # Branch A: background / underground -> environment (camera.comp:354-361)
     env, disk = sample_environment(
-        atmo, transmittance_lut, skyview_lut, pos_grid, direction
+        atmo, transmittance_lut, skyview_lut, pos_grid, direction,
+        hit_dist=(hit, dist_planet), aerial=shared_aerial,
     )
     env_transfer = env + disk  # shadowFactor = 1 on this branch
 
@@ -267,6 +295,7 @@ def sky_camera_pass(
         sky_material.position,
         sky_material,
         sun_shadow,
+        aerial=shared_aerial,
     )
     # ad-hoc single-bounce metallic reflection (camera.comp:379-387)
     t_surface = sample_transmittance_segment(
@@ -286,7 +315,6 @@ def sky_camera_pass(
 
     # Branch select: background or underground -> environment
     # (GBuffer +y down: material.position.y > 0 means below ground)
-    is_env = (scene_depth == 0.0) | (material.position[..., 1] > 0.0)
     transfer = jnp.where(is_env[..., None], env_transfer, geo_transfer)
     surface_luminance = jnp.where(
         is_env[..., None], 0.0, scene_color

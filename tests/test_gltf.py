@@ -157,14 +157,13 @@ def test_material_orm_synthesis(tmp_path):
     path = build_test_glb(tmp_path)
     meshes, library = load_gltf_meshes(path)
     mat = meshes[0].surfaces[0].material
-    textures = library.as_array()
-    orm = textures[mat.orm]
+    orm = library.get(mat.orm)
     # occlusion channel saturated to 1.0 (assets.cpp:781), g/b preserved
     np.testing.assert_allclose(orm[..., 0], 1.0, atol=1e-6)
     np.testing.assert_allclose(orm[..., 1], 200 / 255, atol=1e-3)
     np.testing.assert_allclose(orm[..., 2], 100 / 255, atol=1e-3)
     # color map went through sRGB decode: mid-grey != linear mid-grey
-    color = textures[mat.color]
+    color = library.get(mat.color)
     assert color.max() <= 1.0
 
 

@@ -49,7 +49,8 @@ def quad_geometry(z_near=2.0, z_far=6.0, checker_size=8):
         tri_valid=jnp.ones(2, bool),
         tri_casts_shadow=jnp.ones(2, bool),
         materials=jnp.zeros((1, 3), jnp.int32),
-        textures=jnp.asarray(tex)[None].repeat(1, 0),
+        tex_atlas=jnp.asarray(tex),
+        tex_rects=jnp.asarray([[0, 0, s, s]], jnp.int32),
     )
     return geo, positions
 
@@ -122,7 +123,8 @@ def test_normal_mapping_flat_map_keeps_vertex_normal():
     flat[..., 1] = 127 / 255
     flat[..., 2] = 1.0
     geo = geo._replace(
-        textures=jnp.stack([jnp.asarray(flat)]),
+        tex_atlas=jnp.asarray(flat),
+        tex_rects=jnp.asarray([[0, 0, 64, 64]], jnp.int32),
     )
     proj = perspective_proj()
     models = jnp.eye(4)[None]
@@ -153,6 +155,76 @@ def test_bilinear_repeat_wraps():
     # halfway between texels: bilinear average
     v3 = sample_bilinear_repeat(ids, textures, jnp.asarray([[0.25, 0.125]]))
     np.testing.assert_allclose(np.asarray(v3)[0, 0], 0.5, atol=1e-6)
+
+
+def test_atlas_sampler_matches_array_sampler():
+    """sample_atlas_repeat == sample_bilinear_repeat for a lone texture."""
+    from syzygy_tpu.kernels.resolve import sample_atlas_repeat
+
+    rng = np.random.default_rng(5)
+    tex = rng.uniform(0, 1, (16, 16, 4)).astype(np.float32)
+    uv = rng.uniform(-2, 3, (64, 2)).astype(np.float32)
+    ids = jnp.zeros((64,), jnp.int32)
+    a = sample_bilinear_repeat(ids, jnp.asarray(tex)[None], jnp.asarray(uv))
+    b = sample_atlas_repeat(
+        ids,
+        jnp.asarray(tex),
+        jnp.asarray([[0, 0, 16, 16]], jnp.int32),
+        jnp.asarray(uv),
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_atlas_mixed_resolutions_and_wrap():
+    """Two textures of different sizes in one atlas: native-res texel
+    fetches and REPEAT wrapping stay per-texture."""
+    from syzygy_tpu.assets import TextureLibrary
+    from syzygy_tpu.kernels.resolve import sample_atlas_repeat
+
+    lib = TextureLibrary()
+    a8 = np.zeros((8, 8, 4), np.float32)
+    a8[0, 0] = 1.0
+    b32 = np.zeros((32, 32, 4), np.float32)
+    b32[16, 16] = 1.0
+    lib.register("a8", a8)
+    lib.register("b32", b32)
+    atlas, rects = lib.as_atlas()
+    atlas_j, rects_j = jnp.asarray(atlas), jnp.asarray(rects)
+
+    # texel centers: texture 0 at uv=(0.5/8, 0.5/8); texture 1 at 16.5/32
+    v0 = sample_atlas_repeat(
+        jnp.asarray([0]), atlas_j, rects_j, jnp.asarray([[0.5 / 8, 0.5 / 8]])
+    )
+    v1 = sample_atlas_repeat(
+        jnp.asarray([1]), atlas_j, rects_j, jnp.asarray([[16.5 / 32, 16.5 / 32]])
+    )
+    np.testing.assert_allclose(np.asarray(v0)[0, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1)[0, 0], 1.0, atol=1e-6)
+    # REPEAT wraps inside each texture's own rect, not into the neighbor
+    v0w = sample_atlas_repeat(
+        jnp.asarray([0]), atlas_j, rects_j,
+        jnp.asarray([[3.0 + 0.5 / 8, -2.0 + 0.5 / 8]]),
+    )
+    np.testing.assert_allclose(np.asarray(v0w)[0, 0], 1.0, atol=1e-6)
+    # bilinear across texture 0's wrap seam: uv=0 mixes its 4 corner texels
+    v_seam = sample_atlas_repeat(
+        jnp.asarray([0]), atlas_j, rects_j, jnp.asarray([[0.0, 0.0]])
+    )
+    np.testing.assert_allclose(np.asarray(v_seam)[0, 0], 0.25, atol=1e-6)
+
+
+def test_texture_library_native_resolution_kept():
+    from syzygy_tpu.assets import TextureLibrary
+
+    lib = TextureLibrary(max_size=64)
+    i = lib.register("native", np.ones((24, 48, 4), np.float32))
+    assert lib.get(i).shape == (24, 48, 4)  # NOT resampled
+    j = lib.register("big", np.ones((256, 128, 4), np.float32))
+    assert lib.get(j).shape == (64, 32, 4)  # capped, aspect preserved
+    atlas, rects = lib.as_atlas()
+    assert tuple(rects[i]) == (0, 0, 48, 24) or tuple(rects[i])[2:] == (48, 24)
+    x0, y0, w, h = rects[i]
+    np.testing.assert_allclose(atlas[y0 : y0 + h, x0 : x0 + w], 1.0)
 
 
 def test_background_alpha_zero():

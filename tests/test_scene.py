@@ -30,7 +30,7 @@ def test_default_scene_packs():
     assert geo.triangles.shape[0] == 128  # 2*12 + 2 = 26 tris -> 128
     assert int(geo.tri_valid.sum()) == 26
     assert geo.materials.shape == (1, 3)  # all share the default material
-    assert geo.textures.shape[0] == 3  # orm, color, normal
+    assert geo.tex_rects.shape[0] == 3  # orm, color, normal
 
     params = pack_frame_params(scene, 16 / 9)
     # host path is numpy-only

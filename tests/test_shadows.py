@@ -52,3 +52,61 @@ def test_cube_casts_shadow_on_floor():
     far_floor = lum[58:80, 160:210]
     assert near_cube.min() < 0.15, f"no shadow: min {near_cube.min():.3f}"
     assert far_floor.min() > 0.3, f"far floor unexpectedly dark: {far_floor.min():.3f}"
+
+
+def test_five_spotlights_all_cast_shadows():
+    """Shadow capacity parity: the reference rasters up to 10 maps
+    (deferred.cpp:179-180); with 5 spotlights every spot (maps 2..6) must
+    get a real depth raster, not silently degrade past the old 4-map cap."""
+    import jax
+
+    from syzygy_tpu.math.geometry import eulers_from_forward as _eff
+    from syzygy_tpu.renderer.frame import _shadow_pass
+    from syzygy_tpu.scene.pack import prepare_frame_state
+    from syzygy_tpu.kernels.resolve import transform_positions
+    import jax.numpy as jnp
+
+    lib = TextureLibrary()
+    mat = register_default_textures(lib)
+    scene = Scene()
+    scene.add_mesh_instance(
+        cube_mesh(mat), "Cube", [TransformHost.make((0, -4.0, 0), scale=(2, 2, 2))]
+    )
+    scene.add_mesh_instance(
+        plane_mesh(mat), "Floor", [TransformHost.make((0, 0, 0))],
+        casts_shadow=False,
+    )
+    for k in range(5):  # ring of spots aimed at the cube
+        ang = 2 * np.pi * k / 5
+        pos = (10 * np.cos(ang), -9.0, 10 * np.sin(ang))
+        fwd = np.array([0, -4.0, 0], np.float32) - np.asarray(pos, np.float32)
+        scene.add_spotlight(
+            (1.0, 0.8, 0.6, 1.0),
+            TransformHost.make(
+                pos, euler_angles=tuple(np.asarray(_eff(fwd)))
+            ),
+        )
+    scene.tick(0.0)
+    cfg = RenderConfig(
+        width=128, height=64, shadow_dim=256, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    state = prepare_frame_state(params)
+    proj_view = state.camera.projection @ state.camera.view
+    _, world = transform_positions(
+        geo.positions, geo.vert_instance, state.models, proj_view
+    )
+    world_h = jnp.concatenate(
+        [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
+    )
+    maps = np.asarray(
+        jax.jit(lambda g, w, s: _shadow_pass(g, w, s, cfg))(
+            geo, world_h, state
+        )
+    )
+    assert maps.shape[0] == 18  # 2 directional + 16 spot slots
+    for j in range(5):  # every spot map rastered the caster cube
+        assert maps[2 + j].max() > 0.0, f"spot {j} got no shadow raster"
+    assert maps[2 + 5].max() == 0.0  # unused slots stay empty
