@@ -417,7 +417,7 @@ def load_gltf_scene(path: str, library: TextureLibrary | None = None):
                 baked, f"{prefix}_{mesh.name}_{i}", [t]
             )
             # node transforms are pre-baked; undo setMesh's scale
-            # normalization so authored sizes are preserved
-            for tr in inst.transforms:
-                tr.scale = np.ones(3, np.float32)
+            # normalization so authored sizes are preserved (in-place:
+            # transform rows are views into the instance's SoA blocks)
+            inst.scales[:] = 1.0
     return scene, library

@@ -88,7 +88,7 @@ def chessboard_scene():
         casts_shadow=False,
     )
     # undo setMesh's flat-plane scale blow-up for authored sizing
-    inst.transforms[0].scale = np.array([8.0, 1.0, 8.0], np.float32)
+    inst.transforms[0].scale[:] = (8.0, 1.0, 8.0)
 
     rng = np.random.default_rng(42)
 

@@ -221,6 +221,7 @@ def sky_camera_pass(
     sun_shadow_map: jnp.ndarray,  # (dim, dim)
     draw_extent: tuple[int, int] | None = None,  # (w, h) viewport for rays
     row_origin=0,  # global row of this block's first row (image sharding)
+    metallic_reflection: bool = True,  # camera.comp:379-387 (ad-hoc bounce)
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -298,20 +299,21 @@ def sky_camera_pass(
         aerial=shared_aerial,
     )
     # ad-hoc single-bounce metallic reflection (camera.comp:379-387)
-    t_surface = sample_transmittance_segment(
-        transmittance_lut, atmo, pos_grid, sky_material.position
-    )
-    refl_dir = reflect_direction(sky_material.normal, -direction)
-    refl_env, refl_disk = sample_environment(
-        atmo, transmittance_lut, skyview_lut, sky_material.position, refl_dir
-    )
-    refl = refl_env + refl_disk * sun_shadow[..., None]
-    geo_transfer = geo_transfer + (
-        t_surface
-        * sky_material.metallic
-        * compute_fresnel(sky_material, -direction, refl_dir)
-        * refl
-    )
+    if metallic_reflection:
+        t_surface = sample_transmittance_segment(
+            transmittance_lut, atmo, pos_grid, sky_material.position
+        )
+        refl_dir = reflect_direction(sky_material.normal, -direction)
+        refl_env, refl_disk = sample_environment(
+            atmo, transmittance_lut, skyview_lut, sky_material.position, refl_dir
+        )
+        refl = refl_env + refl_disk * sun_shadow[..., None]
+        geo_transfer = geo_transfer + (
+            t_surface
+            * sky_material.metallic
+            * compute_fresnel(sky_material, -direction, refl_dir)
+            * refl
+        )
 
     # Branch select: background or underground -> environment
     # (GBuffer +y down: material.position.y > 0 means below ground)

@@ -258,16 +258,17 @@ def pack_frame_params(
 
     ``debug_lines`` gates the wireframe-box segment packing (it walks every
     instance transform; only pay for it when the overlay is on)."""
-    translations, eulers, scales = [], [], []
-    for instance in _renderable(scene):
-        for t in instance.transforms:
-            translations.append(t.translation)
-            eulers.append(t.euler_angles)
-            scales.append(t.scale)
-    if not translations:
-        translations = [np.zeros(3, np.float32)]
-        eulers = [np.zeros(3, np.float32)]
-        scales = [np.ones(3, np.float32)]
+    # SoA fast path: one block per instance (flat in transform count; the
+    # per-object list walk was the host bottleneck past ~10k instances)
+    renderable = _renderable(scene)
+    if renderable:
+        translations = np.concatenate([i.translations for i in renderable])
+        eulers = np.concatenate([i.eulers for i in renderable])
+        scales = np.concatenate([i.scales for i in renderable])
+    else:
+        translations = np.zeros((1, 3), np.float32)
+        eulers = np.zeros((1, 3), np.float32)
+        scales = np.ones((1, 3), np.float32)
 
     bounds_min, bounds_max = scene.shadow_bounds()
     spots, spot_count = spot_raw(

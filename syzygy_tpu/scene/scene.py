@@ -87,7 +87,17 @@ def look_at_transform(position, target, scale=(1.0, 1.0, 1.0)) -> TransformHost:
 
 @dataclasses.dataclass
 class MeshInstance:
-    """``MeshInstanced`` (``renderer/scene.hpp:109-147``)."""
+    """``MeshInstanced`` (``renderer/scene.hpp:109-147``).
+
+    Transforms are stored as SoA numpy blocks (``translations`` /
+    ``eulers`` / ``scales``, each (N, 3)) — the per-frame host path
+    (animation tick, ``pack_frame_params``) is vectorized array math, flat
+    in N up to tens of thousands of animated instances. The ``transforms``
+    / ``originals`` lists hold :class:`TransformHost` rows whose fields are
+    VIEWS into the blocks, so element-wise edits (``t.scale[:] = 2``)
+    stay coherent; never rebind a row field (``t.scale = x``) — write
+    through ``[:]``.
+    """
 
     mesh: Optional[Mesh]
     name: str
@@ -96,21 +106,58 @@ class MeshInstance:
     animation: InstanceAnimation = InstanceAnimation.NONE
     originals: list = dataclasses.field(default_factory=list)
     transforms: list = dataclasses.field(default_factory=list)
+    translations: Optional[np.ndarray] = None  # (N, 3) SoA blocks
+    eulers: Optional[np.ndarray] = None
+    scales: Optional[np.ndarray] = None
+    orig_translations: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.translations is None:
+            self.set_transforms(self.transforms, self.originals or None)
+
+    def set_transforms(self, transforms, originals=None) -> None:
+        """Adopt a list of TransformHost as SoA blocks + row views."""
+        n = len(transforms)
+
+        def block(rows, field):
+            out = np.zeros((n, 3), np.float32)
+            for i, t in enumerate(rows):
+                out[i] = np.asarray(getattr(t, field), np.float32)
+            return out
+
+        self.translations = block(transforms, "translation")
+        self.eulers = block(transforms, "euler_angles")
+        self.scales = block(transforms, "scale")
+        orig_rows = originals if originals is not None else transforms
+        self.orig_translations = block(orig_rows, "translation")
+        self.transforms = [
+            TransformHost(
+                self.translations[i], self.eulers[i], self.scales[i]
+            )
+            for i in range(n)
+        ]
+        self.originals = [
+            TransformHost(
+                self.orig_translations[i],
+                self.eulers[i].copy(),
+                self.scales[i].copy(),
+            )
+            for i in range(n)
+        ]
 
     def tick(self, time_elapsed: float, delta_time: float) -> None:
-        """Instance animations (``scene.cpp:463-527``), vectorized over the
-        instance's transforms (large animated scenes tick thousands)."""
+        """Instance animations (``scene.cpp:463-527``) over the SoA blocks —
+        pure vectorized numpy, no per-transform Python objects touched."""
         if self.animation == InstanceAnimation.DIAGONAL_WAVE:
-            orig = np.stack([t.translation for t in self.originals])
+            orig = self.orig_translations
             offset = (orig[:, 0] + 10.0 + orig[:, 2] + 10.0) / 3.1415
-            y = orig[:, 1] + np.sin(time_elapsed + offset).astype(np.float32)
-            for i, current in enumerate(self.transforms):
-                current.translation = np.array(
-                    [orig[i, 0], y[i], orig[i, 2]], np.float32
-                )
+            self.translations[:, 0] = orig[:, 0]
+            self.translations[:, 1] = orig[:, 1] + np.sin(
+                time_elapsed + offset
+            ).astype(np.float32)
+            self.translations[:, 2] = orig[:, 2]
         elif self.animation == InstanceAnimation.SPIN_ALONG_WORLD_UP:
-            for current in self.transforms:
-                current.euler_angles[2] += delta_time
+            self.eulers[:, 2] += delta_time
 
     def model_matrices(self) -> np.ndarray:
         return np.stack([t.to_matrix() for t in self.transforms])
@@ -154,8 +201,7 @@ class Scene:
             vmin, vmax = mesh.vertex_bounds
             half_extent = (vmax - vmin) * 0.5
             factor = 1.0 / max(float(half_extent.min()), 0.01)
-            for t in instance.transforms:
-                t.scale = t.scale * np.float32(factor)
+            instance.scales *= np.float32(factor)
         self.geometry.append(instance)
         return instance
 

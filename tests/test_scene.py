@@ -22,6 +22,40 @@ from syzygy_tpu.scene import (
 )
 
 
+def test_host_pack_scales_flat_to_10k_instances():
+    """pack_frame_params + tick must be SoA array math: 10k animated
+    instances pack in host microseconds-per-instance, not Python-loop time."""
+    import time
+
+    from syzygy_tpu.assets import TextureLibrary, cube_mesh, register_default_textures
+    from syzygy_tpu.scene import Scene, TransformHost
+    from syzygy_tpu.scene.scene import InstanceAnimation
+
+    lib = TextureLibrary()
+    mat = register_default_textures(lib)
+    n = 10_000
+    transforms = [
+        TransformHost.make((i % 100, -2.0, i // 100)) for i in range(n)
+    ]
+    scene = Scene()
+    scene.add_mesh_instance(
+        cube_mesh(mat), "Field", transforms,
+        animation=InstanceAnimation.DIAGONAL_WAVE,
+    )
+    scene.tick(0.016)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        scene.tick(0.016)
+        params = pack_frame_params(scene, 16 / 9)
+    dt_ms = (time.perf_counter() - t0) / 5 * 1000
+    assert params.translations.shape == (n, 3)
+    # wave animation went through the SoA block
+    assert np.std(params.translations[:, 1]) > 0.1
+    # generous CI bound: vectorized path runs in ~1 ms; the old per-object
+    # loop took ~100 ms at this count
+    assert dt_ms < 40, f"host pack took {dt_ms:.1f} ms for 10k instances"
+
+
 def test_default_scene_packs():
     scene, library = default_scene()
     geo = pack_geometry(scene, library)
