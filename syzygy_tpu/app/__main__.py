@@ -71,6 +71,8 @@ def main() -> None:
     parser.add_argument("--time-of-day", type=float, default=None,
                         help="sun time in [0,1); 0.5 = noon")
     parser.add_argument("--sun-speed", type=float, default=100.0)
+    parser.add_argument("--camera-index", type=int, default=0,
+                        help="active camera (scenes may hold up to 20)")
     parser.add_argument("--camera-pos", type=str, default=None, help="x,y,z")
     parser.add_argument("--camera-look", type=str, default=None, help="x,y,z")
     parser.add_argument("--orbit", action="store_true",
@@ -79,6 +81,10 @@ def main() -> None:
                         help="JSON list of per-frame {keys: 'wasdqe' string, "
                              "cursor: [dx, dy]} entries replayed through the "
                              "fly-camera input handler")
+    parser.add_argument("--watch", type=str, default=None,
+                        help="live property editing (PropertyTable analog): "
+                        "seed this JSON with the scene, then re-render "
+                        "whenever the file changes; loops until --frames")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -118,6 +124,9 @@ def main() -> None:
         scene.sun_animation.frozen = True
     scene.sun_animation.speed = args.sun_speed
     scene.render_atmosphere = not args.no_atmosphere
+
+    if args.camera_index:
+        scene.camera_index = args.camera_index
 
     look_target = np.array([0.0, -6.0, 0.0], np.float32)
     if args.camera_look:
@@ -177,9 +186,34 @@ def main() -> None:
         args.height,
         jax.default_backend(),
     )
+    watch_mtime = None
+    if args.watch:
+        from syzygy_tpu.scene.serialize import load_scene, save_scene
+
+        if not os.path.exists(args.watch):
+            save_scene(args.watch, scene)
+            log.info("seeded %s — edit it to re-render live", args.watch)
+        watch_mtime = os.stat(args.watch).st_mtime
+        mesh_by_name = {
+            i.mesh.name: i.mesh for i in scene.geometry if i.mesh is not None
+        }
+
     t_total = time.perf_counter()
     for frame_idx in range(args.frames):
         t0 = time.perf_counter()
+        if args.watch and frame_idx > 0:
+            # block until the watched file changes, then hot-reload every
+            # property (the live-editing loop the reference drives through
+            # ImGui property tables, ui/propertytable.hpp:28-226)
+            while os.stat(args.watch).st_mtime == watch_mtime:
+                time.sleep(0.25)
+            watch_mtime = os.stat(args.watch).st_mtime
+            try:
+                scene = load_scene(args.watch, mesh_by_name.get)
+                geometry = place_on_accelerator(pack_geometry(scene, library))
+                log.info("reloaded %s", args.watch)
+            except Exception as e:  # keep rendering the last good scene
+                log.error("reload failed (%s); keeping previous scene", e)
         if input_script:
             entry = input_script[frame_idx % len(input_script)]
             scene.handle_input(

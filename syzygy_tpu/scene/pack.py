@@ -185,12 +185,10 @@ def pack_geometry(
                 np.full(mesh.positions.shape[0], instance_index, np.int32)
             )
             mat4 = np.asarray(transform.to_matrix(), np.float32)
-            for surface in mesh.surfaces:
-                key = (
-                    surface.material.color,
-                    surface.material.normal,
-                    surface.material.orm,
-                )
+            overrides = instance.material_overrides or [None] * len(mesh.surfaces)
+            for surface, override in zip(mesh.surfaces, overrides):
+                material = override if override is not None else surface.material
+                key = (material.color, material.normal, material.orm)
                 if key not in material_ids:
                     material_ids[key] = len(materials)
                     materials.append(key)

@@ -110,6 +110,18 @@ class MeshInstance:
     eulers: Optional[np.ndarray] = None
     scales: Optional[np.ndarray] = None
     orig_translations: Optional[np.ndarray] = None
+    # per-surface material overrides (``renderer/scene.hpp:109-147``):
+    # None, or a list aligned with mesh.surfaces whose non-None entries
+    # replace that surface's MaterialData at pack time
+    material_overrides: Optional[list] = None
+
+    def set_material_override(self, surface_index: int, material) -> None:
+        """Override one surface's material (``MeshInstanced`` per-surface
+        descriptors in the reference)."""
+        n = len(self.mesh.surfaces)
+        if self.material_overrides is None:
+            self.material_overrides = [None] * n
+        self.material_overrides[surface_index] = material
 
     def __post_init__(self):
         if self.translations is None:
@@ -165,9 +177,17 @@ class MeshInstance:
 
 @dataclasses.dataclass
 class Scene:
-    """``Scene`` (``renderer/scene.hpp:154-218``)."""
+    """``Scene`` (``renderer/scene.hpp:154-218``).
 
-    camera: Camera = dataclasses.field(default_factory=Camera)
+    Holds multiple cameras (the reference's Renderer keeps a 20-capacity
+    camera buffer, ``renderer/renderer.hpp:113-121``); ``camera`` is the
+    active one (``camera_index``).
+    """
+
+    MAX_CAMERAS = 20  # renderer.hpp:113-121
+
+    cameras: list = dataclasses.field(default_factory=lambda: [Camera()])
+    camera_index: int = 0
     camera_speed: float = 20.0  # DEFAULT_CAMERA_CONTROLLED_SPEED, scene.cpp:85
     atmosphere: Atmosphere = dataclasses.field(default_factory=Atmosphere)
     sun_animation: SunAnimation = dataclasses.field(default_factory=SunAnimation)
@@ -176,6 +196,23 @@ class Scene:
     geometry: list = dataclasses.field(default_factory=list)
     render_atmosphere: bool = True
     time_elapsed: float = 0.0
+
+    @property
+    def camera(self) -> Camera:
+        """The active camera (UI-selected in the reference)."""
+        return self.cameras[self.camera_index]
+
+    @camera.setter
+    def camera(self, cam: Camera) -> None:
+        self.cameras[self.camera_index] = cam
+
+    def add_camera(self, camera: Optional[Camera] = None) -> int:
+        """Register another camera; returns its index (capacity 20,
+        ``renderer.hpp:113-121``)."""
+        if len(self.cameras) >= self.MAX_CAMERAS:
+            raise ValueError(f"camera capacity {self.MAX_CAMERAS} reached")
+        self.cameras.append(camera if camera is not None else Camera())
+        return len(self.cameras) - 1
 
     def add_mesh_instance(
         self,

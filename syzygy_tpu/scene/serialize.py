@@ -17,6 +17,7 @@ import json
 
 import numpy as np
 
+from syzygy_tpu.assets.types import MaterialData
 from syzygy_tpu.scene.atmosphere import Atmosphere, SunAnimation
 from syzygy_tpu.scene.camera import Camera
 from syzygy_tpu.scene.lights import SpotlightParams
@@ -42,7 +43,8 @@ def _transform_from(d: dict) -> TransformHost:
 def scene_to_dict(scene: Scene) -> dict:
     return {
         "version": 1,
-        "camera": dataclasses.asdict(scene.camera),
+        "cameras": [dataclasses.asdict(c) for c in scene.cameras],
+        "camera_index": scene.camera_index,
         "camera_speed": scene.camera_speed,
         "atmosphere": dataclasses.asdict(scene.atmosphere),
         "sun_animation": {
@@ -64,6 +66,10 @@ def scene_to_dict(scene: Scene) -> dict:
                 "animation": inst.animation.name,
                 "originals": [_transform_dict(t) for t in inst.originals],
                 "transforms": [_transform_dict(t) for t in inst.transforms],
+                "material_overrides": [
+                    (dataclasses.asdict(m) if m is not None else None)
+                    for m in (inst.material_overrides or [])
+                ] or None,
             }
             for inst in scene.geometry
         ],
@@ -78,11 +84,16 @@ def scene_from_dict(data: dict, mesh_source) -> Scene:
     if data.get("version") != 1:
         raise ValueError(f"unsupported scene version {data.get('version')}")
 
+    def _camera(d):
+        return Camera(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in d.items()
+        })
+
+    # "camera" is the legacy single-camera key
+    camera_dicts = data.get("cameras") or [data["camera"]]
     scene = Scene(
-        camera=Camera(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in data["camera"].items()
-        }),
+        cameras=[_camera(d) for d in camera_dicts],
+        camera_index=int(data.get("camera_index", 0)),
         camera_speed=data["camera_speed"],
         atmosphere=Atmosphere(**{
             k: tuple(v) if isinstance(v, list) else v
@@ -111,6 +122,14 @@ def scene_from_dict(data: dict, mesh_source) -> Scene:
                 animation=InstanceAnimation[g["animation"]],
                 originals=[_transform_from(t) for t in g["originals"]],
                 transforms=[_transform_from(t) for t in g["transforms"]],
+                material_overrides=(
+                    [
+                        (MaterialData(**m) if m is not None else None)
+                        for m in g["material_overrides"]
+                    ]
+                    if g.get("material_overrides")
+                    else None
+                ),
             )
         )
     return scene

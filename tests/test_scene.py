@@ -22,6 +22,63 @@ from syzygy_tpu.scene import (
 )
 
 
+def test_multiple_cameras_switch_view():
+    """Renderer camera capacity (renderer.hpp:113-121): the scene holds
+    several cameras; switching camera_index changes the packed view."""
+    from syzygy_tpu.scene.camera import Camera
+
+    scene, _ = default_scene()
+    idx = scene.add_camera(Camera(position=(30.0, -5.0, 0.0)))
+    assert idx == 1
+    p0 = pack_frame_params(scene, 16 / 9)
+    scene.camera_index = idx
+    p1 = pack_frame_params(scene, 16 / 9)
+    assert not np.allclose(p0.cam_position, p1.cam_position)
+    np.testing.assert_allclose(p1.cam_position, [30.0, -5.0, 0.0])
+    # active-camera mutation goes to the selected camera only
+    scene.camera.position = (1.0, 2.0, 3.0)
+    assert tuple(scene.cameras[1].position) == (1.0, 2.0, 3.0)
+    scene.camera_index = 0
+    assert tuple(scene.cameras[0].position) != (1.0, 2.0, 3.0)
+    # capacity guard
+    for _ in range(Scene.MAX_CAMERAS - len(scene.cameras)):
+        scene.add_camera()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scene.add_camera()
+
+
+def test_per_surface_material_override():
+    """Per-surface material overrides (renderer/scene.hpp:109-147) replace
+    the mesh's authored material at pack time."""
+    from syzygy_tpu.assets import (
+        MaterialData,
+        TextureLibrary,
+        cube_mesh,
+        register_default_textures,
+    )
+    from syzygy_tpu.scene import TransformHost
+
+    lib = TextureLibrary()
+    mat = register_default_textures(lib)
+    red = np.zeros((8, 8, 4), np.float32)
+    red[..., 0] = 0.8
+    red[..., 3] = 1.0
+    red_id = lib.register("override_red", red)
+    override = MaterialData(color=red_id, normal=mat.normal, orm=mat.orm)
+
+    scene = Scene()
+    inst = scene.add_mesh_instance(
+        cube_mesh(mat), "Cube", [TransformHost.make((0, -4, 0))]
+    )
+    base = pack_geometry(scene, lib)
+    inst.set_material_override(0, override)
+    packed = pack_geometry(scene, lib)
+    assert int(base.materials[0, 0]) == mat.color
+    assert int(packed.materials[0, 0]) == red_id
+
+
 def test_host_pack_scales_flat_to_10k_instances():
     """pack_frame_params + tick must be SoA array math: 10k animated
     instances pack in host microseconds-per-instance, not Python-loop time."""

@@ -8,9 +8,16 @@ from syzygy_tpu.scene.serialize import load_scene, save_scene
 
 
 def test_scene_roundtrip(tmp_path):
+    from syzygy_tpu.assets import MaterialData
+    from syzygy_tpu.scene.camera import Camera
+
     scene, library = default_scene()
     scene.sun_animation.time = 0.123
     scene.camera.position = (1.0, -2.0, 3.0)
+    scene.add_camera(Camera(position=(9.0, -9.0, 9.0)))
+    scene.geometry[0].set_material_override(
+        0, MaterialData(color=2, normal=1, orm=0)
+    )
     scene.tick(0.5)
     path = str(tmp_path / "scene.json")
     save_scene(path, scene)
@@ -23,6 +30,9 @@ def test_scene_roundtrip(tmp_path):
     loaded = load_scene(path, meshes.__getitem__)
 
     assert loaded.camera.position == (1.0, -2.0, 3.0)
+    assert len(loaded.cameras) == 2
+    assert loaded.cameras[1].position == (9.0, -9.0, 9.0)
+    assert loaded.geometry[0].material_overrides[0] == MaterialData(2, 1, 0)
     assert abs(loaded.sun_animation.time - scene.sun_animation.time) < 1e-9
     assert len(loaded.geometry) == len(scene.geometry)
     assert len(loaded.spotlights) == 1
