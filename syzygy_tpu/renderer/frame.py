@@ -121,6 +121,17 @@ def _dispatch_raster(setup, width, height, config, depth_only=False):
     )
 
 
+def _sky_chunks(h: int, w: int, override: int) -> int:
+    """Row chunks for the sky camera pass: keep each chunk under ~0.6 Mpx
+    (the platform compiler's crash threshold, with margin)."""
+    if override:
+        return override if h % override == 0 else 1
+    n = 1
+    while (h // n) * w > 600_000 and h % (n * 2) == 0 and n < 16:
+        n *= 2
+    return n
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Static frame configuration (hashable: used as a jit static arg).
@@ -159,6 +170,11 @@ class RenderConfig:
     raster_tile_h: int = 64
     raster_tile_w: int = 128
     raster_chunk: int = 64
+    # sky camera pass row chunking (0 = auto): the pass runs as lax.map over
+    # this many row blocks. Per-pixel math is unchanged (bitwise identical);
+    # needed because this backend's compiler crashes on the single-program
+    # pass above ~0.6 Mpx (tpu_compile_helper exit 1 at 1920x1088).
+    sky_row_chunks: int = 0
 
     @property
     def render_width(self) -> int:
@@ -345,19 +361,37 @@ def _stage_sky(
             height=config.skyview_height,
         )
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
-        color = sky_camera_pass(
-            lit,
-            vis_depth,
-            gbuffer,
-            state.camera,
-            state.atmosphere,
-            t_lut,
-            sky_lut,
-            sun,
-            shadow_maps[0],
-            draw_extent=(config.render_width, config.render_height),
-            row_origin=row0,
-        )
+
+        def camera_pass(lit_c, depth_c, gb_c, origin_c):
+            return sky_camera_pass(
+                lit_c,
+                depth_c,
+                gb_c,
+                state.camera,
+                state.atmosphere,
+                t_lut,
+                sky_lut,
+                sun,
+                shadow_maps[0],
+                draw_extent=(config.render_width, config.render_height),
+                row_origin=origin_c,
+            )
+
+        h, w = lit.shape[0], lit.shape[1]
+        n_chunks = _sky_chunks(h, w, config.sky_row_chunks)
+        if n_chunks > 1:
+            rows = h // n_chunks
+
+            def one(i):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * rows, rows, 0)
+                return camera_pass(
+                    sl(lit), sl(vis_depth), jax.tree.map(sl, gbuffer),
+                    row0 + i * rows,
+                )
+
+            color = jax.lax.map(one, jnp.arange(n_chunks)).reshape(h, w, 3)
+        else:
+            color = camera_pass(lit, vis_depth, gbuffer, row0)
         color = jnp.clip(color, 0.0, 1.0)
     else:
         color = lit

@@ -181,6 +181,18 @@ def test_sharded_supersampling_matches_staged(frame_setup):
     assert np.abs(out[0] - single).mean() < 2e-3
 
 
+def test_sky_row_chunks_bitwise_identical(frame_setup):
+    """The chunked sky camera pass (platform-compiler workaround at 1080p)
+    must produce EXACTLY the unchunked image — per-pixel math only."""
+    import dataclasses
+
+    _, geometry, params, config = frame_setup
+    base = np.asarray(render_frame(geometry, params, config))
+    cfg4 = dataclasses.replace(config, sky_row_chunks=4)
+    chunked = np.asarray(render_frame(geometry, params, cfg4))
+    np.testing.assert_array_equal(base, chunked)
+
+
 def test_supersampling_shape_and_smoothing(frame_setup):
     import dataclasses
 
