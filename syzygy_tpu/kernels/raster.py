@@ -58,8 +58,11 @@ class TriSetup(NamedTuple):
 
 # coeffs packing:
 # 0:alpha0 1:beta0 2:gamma0 | 3:alpha1 4:beta1 5:gamma1 | 6:z2 7:dz0 8:dz1
-# 9:valid (0/1) 10,11: unused (pad to 12 for clean VMEM rows)
+# 9:valid (0/1) | 10: tx0*4096+tx1 | 11: ty0*4096+ty1 (per-triangle tile
+# bbox, exact in f32 up to 4096 tiles/axis — the kernel's per-triangle
+# skip test; invalid slots encode an empty range)
 _COEFF_WIDTH = 12
+_TILE_PACK = 4096.0
 
 
 def _rotate_indices(rot):
@@ -227,6 +230,15 @@ def setup_triangles(
     ty0 = jnp.clip(jnp.floor((bb_min_y - oy) / tile_h), 0, tiles_y).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((bb_max_y - oy) / tile_h), -1, tiles_y - 1).astype(jnp.int32)
 
+    # per-triangle tile bbox for the kernel's skip test (tx1/ty1 stored +1
+    # so the packed value stays non-negative; empty range for invalid slots)
+    coeffs = coeffs.at[:t2, 10].set(
+        tx0.astype(jnp.float32) * _TILE_PACK + (tx1 + 1).astype(jnp.float32)
+    )
+    coeffs = coeffs.at[:t2, 11].set(
+        ty0.astype(jnp.float32) * _TILE_PACK + (ty1 + 1).astype(jnp.float32)
+    )
+
     # Reduce per-triangle tile ranges to per-chunk tile bboxes BEFORE
     # expanding over tiles: materializing (T2, tiles) overlap masks costs
     # O(T * tiles) memory (OOM at ~250k tris x 18 shadow lights); the chunk
@@ -282,44 +294,41 @@ class VisibilityBuffer(NamedTuple):
     b1: jnp.ndarray  # (H, W) f32
 
 
-def _raster_kernel(
-    mask_ref,  # SMEM (8, tiles_y * tiles_x) i32: chunk-rows c//8*8 .. +8
-    coeffs_ref,  # VMEM (CHUNK, 12) f32
-    depth_ref,
-    tri_ref,
-    b0_ref,
-    b1_ref,
-    *,
-    tile_h: int,
-    tile_w: int,
-    chunk: int,
-    depth_only: bool,
+def _chunk_loop(
+    coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
+    *, chunk_base, tile_h, tile_w, chunk, depth_only,
 ):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    c = pl.program_id(2)
-    n_tx = pl.num_programs(1)
+    """Iterate one coefficient chunk over the (tile_h, tile_w) pixel tile.
 
-    @pl.when(c == 0)
-    def _init():
-        depth_ref[:] = jnp.zeros_like(depth_ref)
-        if not depth_only:
-            tri_ref[:] = jnp.full_like(tri_ref, -1)
-            b0_ref[:] = jnp.zeros_like(b0_ref)
-            b1_ref[:] = jnp.zeros_like(b1_ref)
+    Each triangle first passes a SCALAR tile-bbox test (cols 10/11 pack its
+    tile range) — triangles in the chunk that don't touch this tile skip
+    the whole-tile vector evaluation (the per-triangle rejection that
+    approximates the hardware rasterizer's variable-cost behavior)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+        jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+        jnp.float32
+    )
+    px = tx.astype(jnp.float32) * tile_w + col + 0.5
+    py = ty.astype(jnp.float32) * tile_h + row + 0.5
+    inv_pack = 1.0 / _TILE_PACK
 
-    @pl.when(mask_ref[c % 8, ty * n_tx + tx] != 0)
-    def _work():
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
-            jnp.float32
+    def body(t, carry):
+        pkx = coeffs_ref[t, 10]
+        pky = coeffs_ref[t, 11]
+        tx0 = jnp.floor(pkx * inv_pack)
+        ty0 = jnp.floor(pky * inv_pack)
+        tx1p = pkx - tx0 * _TILE_PACK  # stored tx1 + 1
+        ty1p = pky - ty0 * _TILE_PACK
+        fx = tx.astype(jnp.float32)
+        fy = ty.astype(jnp.float32)
+        touches = (
+            (fx >= tx0) & (fx < tx1p) & (fy >= ty0) & (fy < ty1p)
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
-            jnp.float32
-        )
-        px = tx.astype(jnp.float32) * tile_w + col + 0.5
-        py = ty.astype(jnp.float32) * tile_h + row + 0.5
 
-        def body(t, _):
+        @pl.when(touches)
+        def _work():
             a0 = coeffs_ref[t, 0]
             be0 = coeffs_ref[t, 1]
             g0 = coeffs_ref[t, 2]
@@ -348,13 +357,49 @@ def _raster_kernel(
             )
             depth_ref[:] = jnp.where(hit, z, current)
             if not depth_only:
-                tid = c * chunk + t
+                tid = chunk_base + t
                 tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
                 b0_ref[:] = jnp.where(hit, bb0, b0_ref[:])
                 b1_ref[:] = jnp.where(hit, bb1, b1_ref[:])
-            return 0
 
-        jax.lax.fori_loop(0, chunk, body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def _raster_kernel(
+    mask_ref,  # SMEM (8, tiles_y * tiles_x) i32: chunk-rows c//8*8 .. +8
+    coeffs_ref,  # VMEM (CHUNK, 12) f32
+    depth_ref,
+    tri_ref,
+    b0_ref,
+    b1_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+    depth_only: bool,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    c = pl.program_id(2)
+    n_tx = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _init():
+        depth_ref[:] = jnp.zeros_like(depth_ref)
+        if not depth_only:
+            tri_ref[:] = jnp.full_like(tri_ref, -1)
+            b0_ref[:] = jnp.zeros_like(b0_ref)
+            b1_ref[:] = jnp.zeros_like(b1_ref)
+
+    @pl.when(mask_ref[c % 8, ty * n_tx + tx] != 0)
+    def _work():
+        _chunk_loop(
+            coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
+            chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+            depth_only=depth_only,
+        )
 
 
 @functools.partial(
@@ -504,51 +549,11 @@ def _raster_kernel_listed(
 
     @pl.when(s < counts_ref[tile])  # steps past the list are pure no-ops
     def _work():
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
-            jnp.float32
+        _chunk_loop(
+            coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
+            chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+            depth_only=depth_only,
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
-            jnp.float32
-        )
-        px = tx.astype(jnp.float32) * tile_w + col + 0.5
-        py = ty.astype(jnp.float32) * tile_h + row + 0.5
-
-        def body(t, _):
-            a0 = coeffs_ref[t, 0]
-            be0 = coeffs_ref[t, 1]
-            g0 = coeffs_ref[t, 2]
-            a1 = coeffs_ref[t, 3]
-            be1 = coeffs_ref[t, 4]
-            g1 = coeffs_ref[t, 5]
-            z2 = coeffs_ref[t, 6]
-            dz0 = coeffs_ref[t, 7]
-            dz1 = coeffs_ref[t, 8]
-            valid = coeffs_ref[t, 9]
-
-            bb0 = a0 + be0 * px + g0 * py
-            bb1 = a1 + be1 * px + g1 * py
-            bb2 = 1.0 - bb0 - bb1
-            z = z2 + dz0 * bb0 + dz1 * bb1
-
-            current = depth_ref[:]
-            hit = (
-                (bb0 >= 0.0)
-                & (bb1 >= 0.0)
-                & (bb2 >= 0.0)
-                & (z >= current)
-                & (z <= 1.0)
-                & (z >= 0.0)
-                & (valid > 0.0)
-            )
-            depth_ref[:] = jnp.where(hit, z, current)
-            if not depth_only:
-                tid = c * chunk + t
-                tri_ref[:] = jnp.where(hit, tid, tri_ref[:])
-                b0_ref[:] = jnp.where(hit, bb0, b0_ref[:])
-                b1_ref[:] = jnp.where(hit, bb1, b1_ref[:])
-            return 0
-
-        jax.lax.fori_loop(0, chunk, body, 0)
 
 
 @functools.partial(

@@ -1,0 +1,97 @@
+"""Cross-backend 1080p parity: flagship chess frame, CPU XLA vs TPU XLA.
+
+The Vulkan reference binary cannot run here (Windows-only, no GPU), so the
+strongest available cross-implementation check is two INDEPENDENT XLA
+backends (CPU codegen incl. interpret-mode Pallas vs real TPU Mosaic
+kernels) agreeing on the same frame to RMSE <= 1e-3 at full 1920x1080 —
+every kernel, gather, and LUT path exercised through different compilers.
+
+Usage:
+  python tools/parity_1080p.py gen     # render on CPU, store the golden
+  python tools/parity_1080p.py check   # render on TPU, compare vs golden
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "goldens", "flagship_1080p.npz",
+)
+W, H = 1920, 1080
+
+
+def render(on_cpu: bool) -> np.ndarray:
+    import jax
+
+    if on_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from syzygy_tpu.assets.chess import flagship_scene
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.runtime import place_on_accelerator
+    from syzygy_tpu.scene import pack_frame_params, pack_geometry
+
+    scene, lib = flagship_scene()
+    scene.tick(0.0)
+    eye = np.array([13.0, -8.0, -14.0], np.float32)
+    target = np.array([0.0, -1.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(width=W, height=H, n_shadow_maps=4)
+    geometry = pack_geometry(scene, lib)
+    if not on_cpu:
+        geometry = place_on_accelerator(geometry)
+    params = pack_frame_params(scene, W / H)
+    img = render_frame(geometry, params, config)
+    if on_cpu:
+        return np.asarray(img)
+    # TPU: frame-buffer D2H can crash the tunneled worker; download in
+    # row strips with a quiesce pause (tooling context, ~1 min total)
+    import time
+
+    import jax.numpy as jnp
+
+    strips = []
+    step = 135
+    for y0 in range(0, H, step):
+        strip = jax.jit(
+            lambda im, y0=y0: jax.lax.dynamic_slice_in_dim(im, y0, step, 0)
+        )(img)
+        strips.append(np.asarray(strip))
+        time.sleep(0.2)
+    return np.concatenate(strips, axis=0)
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode == "gen":
+        img = render(on_cpu=True)
+        q = np.clip(np.round(img * 65535.0), 0, 65535).astype(np.uint16)
+        np.savez_compressed(GOLDEN, img=q)
+        print(f"wrote {GOLDEN} (mean {img.mean():.4f})")
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpu_session import wait_healthy
+
+    if not wait_healthy():
+        print("DEVICE UNAVAILABLE")
+        sys.exit(1)
+    img = render(on_cpu=False)
+    golden = np.load(GOLDEN)["img"].astype(np.float32) / 65535.0
+    rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
+    worst = float(np.abs(img - golden).max())
+    print(f"TPU-vs-CPU 1080p flagship RMSE {rmse:.6f} (max abs {worst:.4f})")
+    print("PASS (<= 1e-3)" if rmse <= 1e-3 else "FAIL (> 1e-3)")
+
+
+if __name__ == "__main__":
+    main()

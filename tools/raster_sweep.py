@@ -118,6 +118,47 @@ def main():
         print(f"  {name}: {dt:9.3f} ms  (chk {v})", flush=True)
         return dt
 
+    # exact binning-quality oracle: the C++ binner (native.bin_triangles)
+    # computes true per-tile TRIANGLE counts from the screen bboxes — the
+    # lower bound the chunk-granularity lists approximate. One D2H of the
+    # bbox array (tooling only; production binning stays on device).
+    try:
+        from syzygy_tpu import native
+
+        if native.available():
+            @jax.jit
+            def bboxes_fn():
+                st = setup_triangles(
+                    clip, geo.triangles, geo.tri_valid, W, H, +1
+                )
+                c = st.coeffs
+                # reconstruct conservative pixel bboxes from the packed tile
+                # ranges (cols 10/11): enough for binning-quality stats
+                tx0 = jnp.floor(c[:, 10] / 4096.0)
+                tx1 = c[:, 10] - tx0 * 4096.0
+                ty0 = jnp.floor(c[:, 11] / 4096.0)
+                ty1 = c[:, 11] - ty0 * 4096.0
+                from syzygy_tpu.kernels.raster import TILE_H, TILE_W
+                bb = jnp.stack(
+                    [tx0 * TILE_W, ty0 * TILE_H, tx1 * TILE_W, ty1 * TILE_H],
+                    axis=-1,
+                )
+                return bb, c[:, 9] > 0
+            bb, valid = jax.device_get(bboxes_fn())
+            counts, _, dropped = native.bin_triangles(
+                bb, valid.astype(np.uint8), W // 128, H // 64, 128, 64,
+                capacity=8192,
+            )
+            assert dropped == 0, "raise oracle capacity"
+            print(
+                f"  exact binner oracle (64x128 tiles): tris/tile "
+                f"max={counts.max()} mean={counts.mean():.1f} "
+                f"(listed-raster work is ~chunk-granular upper bound)",
+                flush=True,
+            )
+    except Exception as e:
+        print(f"  binner oracle unavailable: {e}", flush=True)
+
     results = {}
 
     # --- setup_triangles cost (shared by all variants) ---
