@@ -127,10 +127,8 @@ def main():
 
         if native.available():
             @jax.jit
-            def bboxes_fn():
-                st = setup_triangles(
-                    clip, geo.triangles, geo.tri_valid, W, H, +1
-                )
+            def bboxes_fn(clip, tris, tvalid):
+                st = setup_triangles(clip, tris, tvalid, W, H, +1)
                 c = st.coeffs
                 # reconstruct conservative pixel bboxes from the packed tile
                 # ranges (cols 10/11): enough for binning-quality stats
@@ -144,7 +142,9 @@ def main():
                     axis=-1,
                 )
                 return bb, c[:, 9] > 0
-            bb, valid = jax.device_get(bboxes_fn())
+            bb, valid = jax.device_get(
+                bboxes_fn(clip, geo.triangles, geo.tri_valid)
+            )
             counts, _, dropped = native.bin_triangles(
                 bb, valid.astype(np.uint8), W // 128, H // 64, 128, 64,
                 capacity=8192,
@@ -162,14 +162,17 @@ def main():
     results = {}
 
     # --- setup_triangles cost (shared by all variants) ---
+    # NOTE: device-resident arrays (clip, geo.*) must be explicit jit args —
+    # closure capture embeds them as constants and each one costs a ~30 s
+    # device->host fetch at lowering through this tunnel (CLAUDE.md item 3).
     def setup_fn(th, tw, ck):
         @jax.jit
-        def f(eps):
+        def f(clip, tris, tvalid, eps):
             c2 = clip.at[0, 0].add(eps)
             st = setup_triangles(
                 c2,
-                geo.triangles,
-                geo.tri_valid,
+                tris,
+                tvalid,
                 W,
                 H,
                 +1,
@@ -178,7 +181,7 @@ def main():
                 chunk=ck,
             )
             return jnp.minimum(st.coeffs[0, 0] * 1e-30, 0.0)
-        return f
+        return lambda eps: f(clip, geo.triangles, geo.tri_valid, eps)
 
     # --- sweep configs: (tile_h, tile_w, chunk, cap) ---
     default_cfgs = [
@@ -201,14 +204,16 @@ def main():
             continue
         try:
             @jax.jit
-            def stats_fn(th=th, tw=tw, ck=ck, cap=cap):
+            def stats_fn(clip, tris, tvalid, th=th, tw=tw, ck=ck, cap=cap):
                 st = setup_triangles(
-                    clip, geo.triangles, geo.tri_valid, W, H, +1,
+                    clip, tris, tvalid, W, H, +1,
                     tile_h=th, tile_w=tw, chunk=ck,
                 )
                 return build_tile_lists(st, cap, ck)
 
-            table, counts, dropped = stats_fn()
+            table, counts, dropped = stats_fn(
+                clip, geo.triangles, geo.tri_valid
+            )
             cts = np.asarray(jax.device_get(counts))
             drp = int(jax.device_get(dropped))
             print(
@@ -218,16 +223,19 @@ def main():
             )
 
             @jax.jit
-            def raster_fn(eps, th=th, tw=tw, ck=ck, cap=cap):
+            def raster_jit(clip, tris, tvalid, eps, th=th, tw=tw, ck=ck, cap=cap):
                 c2 = clip.at[0, 0].add(eps)
                 st = setup_triangles(
-                    c2, geo.triangles, geo.tri_valid, W, H, +1,
+                    c2, tris, tvalid, W, H, +1,
                     tile_h=th, tile_w=tw, chunk=ck,
                 )
                 vis, _ = rasterize_listed(
                     st, W, H, capacity=cap, tile_h=th, tile_w=tw, chunk=ck
                 )
                 return jnp.minimum(vis.depth[0, 0] * 1e-30, 0.0)
+
+            def raster_fn(eps):
+                return raster_jit(clip, geo.triangles, geo.tri_valid, eps)
 
             dt = timed_chain(f"setup+lists+raster {th}x{tw} c{ck} cap{cap}", raster_fn)
             results[(th, tw, ck, cap)] = dt
