@@ -134,7 +134,92 @@ def main():
             img = _stage_sky.__wrapped__(state, lit2, depth, gb, smaps, cfg)
             return jnp.minimum(img[0, 0, 0] * 1e-30, 0.0)
 
+        @jax.jit
+        def luts_chain(state, eps):
+            from syzygy_tpu.kernels.atmosphere import (
+                METERS_PER_MM,
+                compute_skyview_lut,
+                compute_transmittance_lut,
+            )
+
+            atmo = state.atmosphere._replace(
+                sun_intensity_spectrum=state.atmosphere.sun_intensity_spectrum
+                + eps * 1e-30
+            )
+            t_lut = compute_transmittance_lut(atmo)
+            origin_mm = state.camera.position[:3] / METERS_PER_MM
+            origin_mm = origin_mm * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+            origin_mm = origin_mm + jnp.array(
+                [0.0, atmo.planet_radius_mm, 0.0], jnp.float32
+            )
+            sky_lut = compute_skyview_lut(
+                atmo,
+                origin_mm,
+                t_lut,
+                width=cfg.skyview_width,
+                height=cfg.skyview_height,
+            )
+            return jnp.minimum(
+                (t_lut[0, 0, 0] + sky_lut[0, 0, 0]) * 1e-30, 0.0
+            )
+
+        @jax.jit
+        def raster_chain(geo, params, eps):
+            from syzygy_tpu.kernels.raster import setup_triangles
+            from syzygy_tpu.kernels.resolve import transform_positions
+            from syzygy_tpu.renderer.frame import _dispatch_raster
+            from syzygy_tpu.scene.pack import prepare_frame_state
+
+            p2 = params._replace(
+                cam_position=jnp.asarray(params.cam_position) + eps * 1e-30
+            )
+            st = prepare_frame_state(p2)
+            proj_view = st.camera.projection @ st.camera.view
+            clip, _ = transform_positions(
+                geo.positions, geo.vert_instance, st.models, proj_view
+            )
+            setup = setup_triangles(
+                clip,
+                geo.triangles,
+                geo.tri_valid,
+                cfg.render_width,
+                cfg.render_height,
+                +1,
+                grid_width=cfg.padded_width,
+                grid_height=cfg.padded_height,
+            )
+            vis2 = _dispatch_raster(
+                setup, cfg.padded_width, cfg.padded_height, cfg
+            )
+            return jnp.minimum(vis2.depth[0, 0] * 1e-30, 0.0)
+
+        @jax.jit
+        def shadow_chain(geo, params, eps):
+            from syzygy_tpu.kernels.resolve import transform_positions
+            from syzygy_tpu.renderer.frame import _shadow_pass
+            from syzygy_tpu.scene.pack import prepare_frame_state
+
+            p2 = params._replace(
+                cam_position=jnp.asarray(params.cam_position) + eps * 1e-30
+            )
+            st = prepare_frame_state(p2)
+            proj_view = st.camera.projection @ st.camera.view
+            _, world = transform_positions(
+                geo.positions, geo.vert_instance, st.models, proj_view
+            )
+            world_h = jnp.concatenate(
+                [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
+            )
+            maps = _shadow_pass(geo, world_h, st, cfg)
+            return jnp.minimum(maps[0, 0, 0] * 1e-30, 0.0)
+
         print(f"== {tag} ==", flush=True)
+        timed_chain(
+            "  camera raster", lambda eps: raster_chain(geo, params, eps)
+        )
+        timed_chain(
+            "  shadow pass  ", lambda eps: shadow_chain(geo, params, eps)
+        )
         g = timed_chain(
             "stage_geometry", lambda eps: geom_chain(geo, params, eps)
         )
@@ -145,7 +230,14 @@ def main():
             "stage_sky     ",
             lambda eps: sky_chain(state, lit, vis.depth, gb, smaps, eps),
         )
-        print(f"  sum of stages : {g + l + s:9.3f} ms", flush=True)
+        u = timed_chain(
+            "  LUTs only   ", lambda eps: luts_chain(state, eps)
+        )
+        print(
+            f"  sum of stages : {g + l + s:9.3f} ms "
+            f"(sky minus LUTs ~{s - u:.3f})",
+            flush=True,
+        )
 
     scene, lib = default_scene()
     scene.sun_animation.time = 0.35
