@@ -164,10 +164,16 @@ def deferred_lighting(
     spots: SpotLight,  # stacked (S, ...)
     spot_count: jnp.ndarray,
     shadow_maps: jnp.ndarray,  # (D + S, dim, dim) f32 depth
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
 
     Background texels (diffuse alpha < 1) stay black; the sky pass fills them.
+
+    ``unroll=True`` unrolls the light loops over every static slot guarded
+    by ``lax.cond`` — needed for reverse-mode differentiation (the default
+    dynamic-trip-count loops lower to while_loop, which has no VJP) at the
+    cost of evaluating all 18 slots.
     """
     material = convert_pbr(gbuffer)
     lit_mask = gbuffer.diffuse[..., 3:4] >= 1.0
@@ -178,59 +184,90 @@ def deferred_lighting(
     h, w = gbuffer.diffuse.shape[:2]
     total = jnp.zeros((h, w, 3), jnp.float32)
 
+    # Dynamic-trip-count loops so only ACTIVE lights execute. lax.cond per
+    # static slot (the earlier structure) gets flattened to select by the
+    # TPU compiler — all 16 spot slots then run their 5x5 PCF every frame
+    # (measured 10.5 s/frame at 1080p for a 3-light scene; ~0.6 s per
+    # light-slot). A fori_loop with traced bounds lowers to while_loop and
+    # executes exactly `count` iterations.
     n_dir = directional.strength.shape[0]
-    for i in range(n_dir):
-        def dir_term(i=i):
-            light_pv = directional.projection[i] @ directional.view[i]
-            coord, dx, dy = compute_shadow_frame(
-                light_pv, material.position, material.normal
-            )
-            shadow = sample_shadow_map(shadow_maps[i], coord, dx, dy)
-            light_dir = _normalize(-directional.forward[i, :3])[None, None, :]
-            spectral = (
-                directional.color[i, :3] * directional.strength[i]
-            )[None, None, :] * shadow[..., None]
-            return _light_contribution(material, view_dir, light_dir, spectral)
 
-        active = (i >= directional_skip) & (i < directional_count)
-        total = total + jax.lax.cond(
-            active, dir_term, lambda: jnp.zeros_like(total)
+    def dir_body(i, total):
+        light = jax.tree.map(lambda x: x[i], directional)
+        light_pv = light.projection @ light.view
+        coord, dx, dy = compute_shadow_frame(
+            light_pv, material.position, material.normal
+        )
+        shadow = sample_shadow_map(shadow_maps[i], coord, dx, dy)
+        light_dir = _normalize(-light.forward[:3])[None, None, :]
+        spectral = (light.color[:3] * light.strength)[
+            None, None, :
+        ] * shadow[..., None]
+        return total + _light_contribution(
+            material, view_dir, light_dir, spectral
+        )
+
+    if unroll:
+        for i in range(n_dir):
+            active = (i >= directional_skip) & (i < directional_count)
+            total = jax.lax.cond(
+                active,
+                lambda t, i=i: dir_body(jnp.int32(i), t),
+                lambda t: t,
+                total,
+            )
+    else:
+        total = jax.lax.fori_loop(
+            directional_skip,
+            jnp.minimum(directional_count, n_dir),
+            dir_body,
+            total,
         )
 
     n_spot = spots.strength.shape[0]
-    for j in range(n_spot):
-        def spot_term(j=j):
-            light_pv = spots.projection[j] @ spots.view[j]
-            coord, dx, dy = compute_shadow_frame(
-                light_pv, material.position, material.normal
-            )
-            shadow = sample_shadow_map(shadow_maps[n_dir + j], coord, dx, dy)
-            light_dir = _normalize(-spots.forward[j, :3])[None, None, :]
-            # quadratic falloff + UV edge softening (lights.comp:73-91)
-            dist = jnp.linalg.norm(
-                spots.position[j, :3] - material.position, axis=-1, keepdims=True
-            )
-            norm_dist = dist / spots.falloff_distance[j]
-            falloff = spots.falloff_factor[j] * norm_dist * norm_dist
-            uv_dist = jnp.clip(
-                jnp.linalg.norm(
-                    coord[..., :2] - 0.5, axis=-1, keepdims=True
-                )
-                / 0.5,
-                0.0,
-                1.0,
-            )
-            edge_soften = 1.0 - uv_dist * uv_dist
-            spectral = (
-                (spots.color[j, :3] * spots.strength[j])[None, None, :]
-                / jnp.maximum(falloff, 1e-8)
-                * edge_soften
-                * shadow[..., None]
-            )
-            return _light_contribution(material, view_dir, light_dir, spectral)
 
-        total = total + jax.lax.cond(
-            j < spot_count, spot_term, lambda: jnp.zeros_like(total)
+    def spot_body(j, total):
+        spot = jax.tree.map(lambda x: x[j], spots)
+        light_pv = spot.projection @ spot.view
+        coord, dx, dy = compute_shadow_frame(
+            light_pv, material.position, material.normal
+        )
+        shadow = sample_shadow_map(shadow_maps[n_dir + j], coord, dx, dy)
+        light_dir = _normalize(-spot.forward[:3])[None, None, :]
+        # quadratic falloff + UV edge softening (lights.comp:73-91)
+        dist = jnp.linalg.norm(
+            spot.position[:3] - material.position, axis=-1, keepdims=True
+        )
+        norm_dist = dist / spot.falloff_distance
+        falloff = spot.falloff_factor * norm_dist * norm_dist
+        uv_dist = jnp.clip(
+            jnp.linalg.norm(coord[..., :2] - 0.5, axis=-1, keepdims=True)
+            / 0.5,
+            0.0,
+            1.0,
+        )
+        edge_soften = 1.0 - uv_dist * uv_dist
+        spectral = (
+            (spot.color[:3] * spot.strength)[None, None, :]
+            / jnp.maximum(falloff, 1e-8)
+            * edge_soften
+            * shadow[..., None]
+        )
+        return total + _light_contribution(
+            material, view_dir, light_dir, spectral
+        )
+
+    if unroll:
+        for j in range(n_spot):
+            total = jax.lax.cond(
+                j < spot_count,
+                lambda t, j=j: spot_body(jnp.int32(j), t),
+                lambda t: t,
+                total,
+            )
+    else:
+        total = jax.lax.fori_loop(
+            0, jnp.minimum(spot_count, n_spot), spot_body, total
         )
 
     return jnp.where(lit_mask, total, 0.0)

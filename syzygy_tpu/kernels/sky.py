@@ -14,6 +14,7 @@ from syzygy_tpu.kernels.atmosphere import (
     METERS_PER_MM,
     PI,
     luminance_scattering_integral,
+    luminance_scattering_integral_fast,
     ray_sphere_intersect,
     safe_sqrt,
     sample_lut_bilinear,
@@ -109,7 +110,10 @@ def _hit_planet(atmo, origin, direction):
     return hit & (t0 > 0.0), t0
 
 
-def sample_ground(atmo, transmittance_lut, origin, direction, dist, aerial=None):
+def sample_ground(
+    atmo, transmittance_lut, origin, direction, dist, aerial=None,
+    fast=False,
+):
     """``sampleGround`` (``camera.comp:203-235``).
 
     ``aerial`` optionally injects a precomputed in-scattering integral for
@@ -139,15 +143,18 @@ def sample_ground(atmo, transmittance_lut, origin, direction, dist, aerial=None)
     surface_lum = t_sun * albedo * nl
     t_surface = sample_transmittance_segment(transmittance_lut, atmo, origin, surface)
     if aerial is None:
-        aerial = luminance_scattering_integral(
-            atmo, transmittance_lut, origin, direction, dist
+        integral = (
+            luminance_scattering_integral_fast
+            if fast
+            else luminance_scattering_integral
         )
+        aerial = integral(atmo, transmittance_lut, origin, direction, dist)
     return surface_lum * t_surface + aerial
 
 
 def sample_environment(
     atmo, transmittance_lut, skyview_lut, position, direction,
-    hit_dist=None, aerial=None,
+    hit_dist=None, aerial=None, fast=False,
 ):
     """``sampleEnvironmentLuminanceTransfer`` (``camera.comp:286-301``)
     (the sunShadowFactor multiplies only the sun disk at the call sites)."""
@@ -156,7 +163,8 @@ def sample_environment(
     else:
         hit, dist = hit_dist
     ground = sample_ground(
-        atmo, transmittance_lut, position, direction, dist, aerial=aerial
+        atmo, transmittance_lut, position, direction, dist, aerial=aerial,
+        fast=fast,
     )
     sky = sample_skyview(atmo, skyview_lut, position, direction)
     disk = sample_sun_disk(atmo, transmittance_lut, position, direction)
@@ -222,6 +230,7 @@ def sky_camera_pass(
     draw_extent: tuple[int, int] | None = None,  # (w, h) viewport for rays
     row_origin=0,  # global row of this block's first row (image sharding)
     metallic_reflection: bool = True,  # camera.comp:379-387 (ad-hoc bounce)
+    fast: bool = False,  # fast in-scattering integral (atmosphere.py)
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -271,7 +280,12 @@ def sky_camera_pass(
     hit, dist_planet = _hit_planet(atmo, pos_grid, direction)
     dist_surface = jnp.linalg.norm(sky_material.position - pos_grid, axis=-1)
     shared_dist = jnp.where(is_env, dist_planet, dist_surface)
-    shared_aerial = luminance_scattering_integral(
+    integral = (
+        luminance_scattering_integral_fast
+        if fast
+        else luminance_scattering_integral
+    )
+    shared_aerial = integral(
         atmo, transmittance_lut, pos_grid, direction, shared_dist
     )
 
@@ -305,7 +319,8 @@ def sky_camera_pass(
         )
         refl_dir = reflect_direction(sky_material.normal, -direction)
         refl_env, refl_disk = sample_environment(
-            atmo, transmittance_lut, skyview_lut, sky_material.position, refl_dir
+            atmo, transmittance_lut, skyview_lut, sky_material.position,
+            refl_dir, fast=fast,
         )
         refl = refl_env + refl_disk * sun_shadow[..., None]
         geo_transfer = geo_transfer + (

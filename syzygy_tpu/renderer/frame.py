@@ -29,6 +29,7 @@ from syzygy_tpu.kernels.atmosphere import (
     METERS_PER_MM,
     compute_skyview_lut,
     compute_transmittance_lut,
+    pack_lut,
 )
 from syzygy_tpu.kernels.common import cdiv as cdiv_static, round_up
 from syzygy_tpu.kernels.lighting import deferred_lighting
@@ -175,6 +176,12 @@ class RenderConfig:
     # needed because this backend's compiler crashes on the single-program
     # pass above ~0.6 Mpx (tpu_compile_helper exit 1 at 1920x1088).
     sky_row_chunks: int = 0
+    # fast in-scattering integral (Hillaire production accumulation, 1 LUT
+    # gather/step instead of 5 — kernels/atmosphere.py). Opt-in speed mode:
+    # deviates from the reference's LUT-ratio variant by up to ~1e-2 in sky
+    # luminance (32 samples make each step span tens of km). Default False
+    # keeps the quirk-exact integral.
+    fast_sky: bool = False
 
     @property
     def render_width(self) -> int:
@@ -347,7 +354,9 @@ def _stage_sky(
 ):
     """atmosphere LUTs + per-pixel sky pass + OETF."""
     if config.render_atmosphere:
-        t_lut = compute_transmittance_lut(state.atmosphere)
+        # quad-pack once per frame: every downstream bilinear sample of the
+        # transmittance LUT becomes ONE gather (kernels/atmosphere.py)
+        t_lut = pack_lut(compute_transmittance_lut(state.atmosphere))
         origin_mm = state.camera.position[:3] / METERS_PER_MM
         origin_mm = origin_mm * jnp.array([1.0, -1.0, 1.0], jnp.float32)
         origin_mm = origin_mm + jnp.array(
@@ -359,6 +368,7 @@ def _stage_sky(
             t_lut,
             width=config.skyview_width,
             height=config.skyview_height,
+            fast=config.fast_sky,
         )
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
 
@@ -375,6 +385,7 @@ def _stage_sky(
                 shadow_maps[0],
                 draw_extent=(config.render_width, config.render_height),
                 row_origin=origin_c,
+                fast=config.fast_sky,
             )
 
         h, w = lit.shape[0], lit.shape[1]

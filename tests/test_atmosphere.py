@@ -125,3 +125,36 @@ def test_luminance_integral_zero_distance(atmo):
         atmo, t_lut, origin, direction, jnp.asarray([0.0], jnp.float32)
     )
     np.testing.assert_allclose(np.asarray(lum), 0.0, atol=1e-6)
+
+
+def test_packed_lut_bitwise_identical(atmo):
+    """Quad-packed bilinear sampling must equal the 4-gather path exactly."""
+    lut = atm.compute_transmittance_lut(atmo)
+    packed = atm.pack_lut(lut)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random(4096, np.float32))
+    v = jnp.asarray(rng.random(4096, np.float32))
+    a = np.asarray(atm.sample_lut_bilinear(lut, u, v))
+    b = np.asarray(atm.sample_lut_bilinear(packed, u, v))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fast_integral(atmo):
+    """The opt-in fast integral (exp-step accumulation) tracks the exact
+    LUT-ratio integral: same shape, bounded deviation. Documents why
+    fast_sky is NOT parity-exact (steps span tens of km at 32 samples)."""
+    lut = atm.compute_transmittance_lut(atmo)
+    origin = jnp.asarray([0.0, 6.3601, 0.0], jnp.float32)
+    exact = np.asarray(
+        atm.compute_skyview_lut(atmo, origin, lut, width=128, height=64)
+    )
+    fast = np.asarray(
+        atm.compute_skyview_lut(
+            atmo, origin, lut, width=128, height=64, fast=True
+        )
+    )
+    assert np.isfinite(fast).all()
+    diff = np.abs(exact - fast)
+    assert diff.max() < 0.03, diff.max()
+    rmse = float(np.sqrt((diff**2).mean()))
+    assert rmse < 3e-3, rmse

@@ -77,7 +77,8 @@ def _render(gbuffer, cam, dirs, raw, smaps, color):
     )
     spots = make_spot_batched(raw2)
     return deferred_lighting(
-        gbuffer, cam, dirs, jnp.int32(0), jnp.int32(0), spots, jnp.int32(1), smaps
+        gbuffer, cam, dirs, jnp.int32(0), jnp.int32(0), spots, jnp.int32(1),
+        smaps, unroll=True,  # dynamic light loops have no VJP
     )
 
 

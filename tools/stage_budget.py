@@ -90,15 +90,28 @@ def main():
     print(f"fetch latency ~{fetch_s * 1000:.0f} ms", flush=True)
 
     def timed_chain(name, fn):
-        """fn(prev_scalar) -> scalar derived from the measured program."""
+        """fn(prev_scalar) -> scalar derived from the measured program.
+
+        Two passes: the first (discarded, forced by its own fetch) absorbs
+        one-time costs — compile, lazy executable upload through the 15 MB/s
+        tunnel, allocation warm-up — which otherwise leak into the timing
+        because block_until_ready acks early. The second pass is reported."""
         prev = jnp.zeros((), jnp.float32)
-        prev = jax.block_until_ready(fn(prev))  # compile + warm
+        prev = fn(prev)  # compile
+        for _ in range(2):  # discard pass, forced
+            prev = fn(prev)
+        t_warm = time.perf_counter()
+        fetch(prev)
+        warm_s = time.perf_counter() - t_warm
         t0 = time.perf_counter()
         for _ in range(n):
             prev = fn(prev)
         v = fetch(prev)
         dt = (time.perf_counter() - t0 - fetch_s) / n * 1000
-        print(f"  {name}: {dt:9.3f} ms  (chk {v})", flush=True)
+        print(
+            f"  {name}: {dt:9.3f} ms  (warm drain {warm_s:.1f} s, chk {v})",
+            flush=True,
+        )
         return dt
 
     def scene_stages(tag, scene, lib):
