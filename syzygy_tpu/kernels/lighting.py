@@ -118,9 +118,23 @@ def compute_shadow_frame(light_proj_view, position, normal):
     return coord, dx, dy
 
 
+_PCF_PAD = 8  # border texels (clamp-to-border 0) + window alignment slack
+
+
 def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
-    clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor."""
+    clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
+
+    Gather-lean formulation: the map is pre-windowed into overlapping
+    16-texel row segments (stride 8), chosen so one segment covers all 5
+    taps of a PCF row (tap offsets span <= 3 texels each way: |ox| <= 2,
+    du <= 1.5/size — ``compute_shadow_frame`` guarantees dx, dy <= 1, so
+    the window bound is exact over the valid domain). Each pixel then
+    fetches 5 segments (one per tap row)
+    instead of 25 single texels — gathers are the TPU bottleneck
+    (tools/gather_bench.py g5) — and selects tap channels with one-hot
+    dots. Values, masks and compares are bitwise-identical to the
+    per-texel formulation (tests/test_lighting.py)."""
     size = shadow_map.shape[-1]
     frag_depth = coord[..., 2]
     du = 1.5 * dx / size
@@ -128,17 +142,31 @@ def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     u = coord[..., 0]
     v = coord[..., 1]
 
+    pad = _PCF_PAD
+    n_w = (size + 2 * pad) // 8
+    padded = jnp.zeros((size, n_w * 8 + 8), shadow_map.dtype)
+    padded = padded.at[:, pad : pad + size].set(shadow_map)
+    seg_idx = (jnp.arange(n_w) * 8)[:, None] + jnp.arange(16)[None, :]
+    windows = padded[:, seg_idx].reshape(size * n_w, 16)  # (size*n_w, 16)
+
+    base = jnp.floor(u * size).astype(jnp.int32)
+    start = base - 3 + pad  # leftmost texel any tap can touch (padded x)
+    w = jnp.clip(jnp.floor_divide(start, 8), 0, n_w - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (*u.shape, 16), u.ndim)
+
     occluded = jnp.zeros_like(frag_depth)
     for oy in range(-2, 3):
+        iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, size - 1)
+        row = windows[iyc * n_w + w]  # (..., 16): ONE gather per tap row
         for ox in range(-2, 3):
-            su = u + ox * du
-            sv = v + oy * dv
-            ix = jnp.floor(su * size).astype(jnp.int32)
-            iy = jnp.floor(sv * size).astype(jnp.int32)
+            ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
             inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
-            ixc = jnp.clip(ix, 0, size - 1)
-            iyc = jnp.clip(iy, 0, size - 1)
-            occ_depth = jnp.where(inside, shadow_map[iyc, ixc], 0.0)
+            c = ix + pad - 8 * w  # channel of this tap inside the segment
+            val = jnp.sum(
+                jnp.where(lane == c[..., None], row, 0.0), axis=-1
+            )
+            occ_depth = jnp.where(inside, val, 0.0)
             occluded += jnp.where(
                 (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
             )

@@ -362,13 +362,15 @@ def _stage_sky(
         origin_mm = origin_mm + jnp.array(
             [0.0, state.atmosphere.planet_radius_mm, 0.0], jnp.float32
         )
-        sky_lut = compute_skyview_lut(
-            state.atmosphere,
-            origin_mm,
-            t_lut,
-            width=config.skyview_width,
-            height=config.skyview_height,
-            fast=config.fast_sky,
+        sky_lut = pack_lut(
+            compute_skyview_lut(
+                state.atmosphere,
+                origin_mm,
+                t_lut,
+                width=config.skyview_width,
+                height=config.skyview_height,
+                fast=config.fast_sky,
+            )
         )
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
 

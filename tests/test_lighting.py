@@ -95,7 +95,9 @@ def test_pcf_partial():
     smap = np.zeros((64, 64), np.float32)
     smap[:, :32] = 0.9  # left half occluding
     coord = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 1.0]), (1, 1, 1))
-    dx = dy = jnp.full((1, 1), 8.0, jnp.float32)  # wide spread: taps hit both halves
+    # dx/dy max out at 1.0 in the renderer (computeShadowFrame:
+    # sqrt(1 - clamp(...)) <= 1); taps then span +-3 texels across the edge
+    dx = dy = jnp.full((1, 1), 1.0, jnp.float32)
     f = float(np.asarray(sample_shadow_map(jnp.asarray(smap), coord, dx, dy))[0, 0])
     assert 0.0 < f < 1.0
 
@@ -179,3 +181,56 @@ def test_spot_light_contributes():
     v = np.asarray(out)
     assert v[..., 0].max() > 0.001  # red light landed
     assert v[..., 1].max() < 1e-6  # and only red
+
+
+def test_pcf_windowed_matches_naive():
+    """The windowed-gather PCF must be bitwise-identical to the per-texel
+    25-gather formulation of shadowmap.glinl:32-63."""
+    import jax.numpy as jnp
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(11)
+    size = 128
+    shadow = jnp.asarray(rng.random((size, size), np.float32))
+    h, w = 24, 32
+    coord = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.2, 1.2, (h, w)),  # u incl. out-of-map taps
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.random((h, w)),
+                np.ones((h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    dx = jnp.asarray(rng.random((h, w), np.float32))
+    dy = jnp.asarray(rng.random((h, w), np.float32))
+
+    def naive(shadow_map, coord, dx, dy):
+        frag_depth = coord[..., 2]
+        du = 1.5 * dx / size
+        dv = 1.5 * dy / size
+        u, v = coord[..., 0], coord[..., 1]
+        occluded = jnp.zeros_like(frag_depth)
+        for oy in range(-2, 3):
+            for ox in range(-2, 3):
+                ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
+                iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+                inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+                occ = jnp.where(
+                    inside,
+                    shadow_map[
+                        jnp.clip(iy, 0, size - 1), jnp.clip(ix, 0, size - 1)
+                    ],
+                    0.0,
+                )
+                occluded += jnp.where(
+                    (occ > 0.0) & (occ > frag_depth), 1.0, 0.0
+                )
+        return 1.0 - occluded / 25.0
+
+    a = np.asarray(naive(shadow, coord, dx, dy))
+    b = np.asarray(sample_shadow_map(shadow, coord, dx, dy))
+    np.testing.assert_array_equal(a, b)

@@ -155,11 +155,13 @@ def main():
                 compute_transmittance_lut,
             )
 
+            from syzygy_tpu.kernels.atmosphere import pack_lut
+
             atmo = state.atmosphere._replace(
                 sun_intensity_spectrum=state.atmosphere.sun_intensity_spectrum
                 + eps * 1e-30
             )
-            t_lut = compute_transmittance_lut(atmo)
+            t_lut = pack_lut(compute_transmittance_lut(atmo))
             origin_mm = state.camera.position[:3] / METERS_PER_MM
             origin_mm = origin_mm * jnp.array([1.0, -1.0, 1.0], jnp.float32)
             origin_mm = origin_mm + jnp.array(
