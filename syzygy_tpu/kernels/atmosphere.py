@@ -340,6 +340,18 @@ def luminance_scattering_integral(
     phase_r = phase_rayleigh(incident_cos)[..., None]
     phase_m = phase_mie(incident_cos, 0.8)[..., None]
 
+    # Hoisted half of sampleTransmittanceLUT_RayMarchStep: its `up` branch
+    # is fixed per ray (start.mu sign), so the origin-side sample of the
+    # ratio is step-invariant — sample both orientations once here and per
+    # step only the end point (1 gather instead of 2, identical values).
+    up = (origin_step.mu > 0.0)[..., None]
+    t_start_up = sample_transmittance_rmu(
+        lut, atmo, origin_step.radius, origin_step.mu
+    )
+    t_start_dn = sample_transmittance_rmu(
+        lut, atmo, origin_step.radius, -origin_step.mu
+    )
+
     def body(i, luminance):
         t = i * d_sample
         begin = origin - (i * d_sample)[..., None] * scattering_dir
@@ -348,7 +360,22 @@ def luminance_scattering_integral(
         altitude = _norm(begin)[..., 0] - atmo.planet_radius_mm
         t_sun = sample_transmittance_sun(lut, atmo, sample_step.radius, sample_step.mu_sun)
         ext = sample_extinction(atmo, altitude)
-        t_begin = sample_transmittance_raymarch_step(atmo, lut, origin_step, t)
+        s_end = sample_transmittance_rmu(
+            lut,
+            atmo,
+            sample_step.radius,
+            jnp.where(up[..., 0], sample_step.mu, -sample_step.mu),
+        )
+        t_begin = jnp.clip(
+            jnp.where(
+                up,
+                t_start_up / jnp.maximum(s_end, 1e-20),
+                s_end / jnp.maximum(t_start_dn, 1e-20),
+            ),
+            0.0,
+            1.0,
+        )
+        t_begin = jnp.where((t < 1e-7)[..., None], 1.0, t_begin)
         phase_scat = ext.scattering_rayleigh * phase_r + ext.scattering_mie * phase_m
         t_path = sample_transmittance_segment(lut, atmo, begin, end)
         integral = (1.0 - t_path) / jnp.maximum(ext.extinction, 1e-12)
