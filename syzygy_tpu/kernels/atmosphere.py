@@ -496,7 +496,78 @@ def compute_transmittance_lut(atmo: AtmospherePacked) -> jnp.ndarray:
     return jnp.where(hit[..., None], transmittance, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "fast"))
+def _scattering_integral_components(atmo, lut, origin, direction, sample_distance):
+    """The reference scattering integral with the phase functions factored
+    out: returns (A_rayleigh, A_mie) with
+    ``luminance = phase_r * A_rayleigh + phase_m * A_mie``.
+
+    Same per-step terms as :func:`luminance_scattering_integral` (including
+    the hoisted raymarch ratio); only the summation is distributed over the
+    two phase channels, so results differ from the fused form at the
+    float-rounding level."""
+    scattering_dir = -direction / _norm(direction)
+    radius = _norm(origin)[..., 0]
+    mu = jnp.sum(origin * direction, axis=-1) / (
+        radius * _norm(direction)[..., 0]
+    )
+    sun = atmo.incident_direction_sun
+    mu_sun = jnp.sum(origin * (-sun), axis=-1) / (radius * jnp.linalg.norm(sun))
+    origin_step = RaymarchStep(radius, mu, mu_sun)
+
+    d_sample = sample_distance / SKYVIEW_SAMPLES
+    up = (origin_step.mu > 0.0)[..., None]
+    t_start_up = sample_transmittance_rmu(
+        lut, atmo, origin_step.radius, origin_step.mu
+    )
+    t_start_dn = sample_transmittance_rmu(
+        lut, atmo, origin_step.radius, -origin_step.mu
+    )
+
+    def body(i, carry):
+        acc_r, acc_m = carry
+        t = i * d_sample
+        begin = origin - (i * d_sample)[..., None] * scattering_dir
+        end = origin - ((i + 1.0) * d_sample)[..., None] * scattering_dir
+        sample_step = step_radius_mu(origin_step, t)
+        altitude = _norm(begin)[..., 0] - atmo.planet_radius_mm
+        t_sun = sample_transmittance_sun(
+            lut, atmo, sample_step.radius, sample_step.mu_sun
+        )
+        ext = sample_extinction(atmo, altitude)
+        s_end = sample_transmittance_rmu(
+            lut,
+            atmo,
+            sample_step.radius,
+            jnp.where(up[..., 0], sample_step.mu, -sample_step.mu),
+        )
+        t_begin = jnp.clip(
+            jnp.where(
+                up,
+                t_start_up / jnp.maximum(s_end, 1e-20),
+                s_end / jnp.maximum(t_start_dn, 1e-20),
+            ),
+            0.0,
+            1.0,
+        )
+        t_begin = jnp.where((t < 1e-7)[..., None], 1.0, t_begin)
+        t_path = sample_transmittance_segment(lut, atmo, begin, end)
+        integral = (1.0 - t_path) / jnp.maximum(ext.extinction, 1e-12)
+        common = t_sun * integral * t_begin
+        return (
+            acc_r + ext.scattering_rayleigh * common,
+            acc_m + ext.scattering_mie * common,
+        )
+
+    shape = (*sample_distance.shape, 3)
+    zero = jnp.zeros(shape, jnp.float32)
+    return jax.lax.fori_loop(
+        0, SKYVIEW_SAMPLES, lambda i, c: body(jnp.float32(i), c), (zero, zero)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "fast", "rowwise")
+)
 def compute_skyview_lut(
     atmo: AtmospherePacked,
     origin_mm: jnp.ndarray,  # (3,) camera position, sky space (+y up, Mm)
@@ -504,8 +575,24 @@ def compute_skyview_lut(
     width: int = SKYVIEW_W,
     height: int = SKYVIEW_H,
     fast: bool = False,
+    rowwise: bool = True,
 ) -> jnp.ndarray:
-    """``skyview_LUT.comp``: lat-long in-scattering map (height, width, 3)."""
+    """``skyview_LUT.comp``: lat-long in-scattering map (height, width, 3).
+
+    ``rowwise`` (default) exploits the structure of the reference's own
+    integral: with the camera origin on the planet-center axis, every
+    per-step term — radii, extinctions, the transmittance ratios, and even
+    the sun transmittance (``stepRadiusMu``'s mu_sun derives only from the
+    origin's scalar mu_sun and the row's view mu, ``common.glinl:316-334``)
+    — depends only on the LUT ROW (elevation). The 2-million-texel build
+    collapses to ``height`` row integrals plus a per-texel phase-function
+    combination: ~2000x fewer LUT gathers. Deviations vs the per-texel
+    build: the origin is projected onto the axis (|xz|/planet_radius ~ 1e-5
+    relative for meter-scale scenes — the SAMPLER's direction->v mapping
+    assumes an on-axis origin anyway, ``camera.comp:70-121``) and the
+    phase factors distribute over the step sum (float-rounding level).
+    Measured against the per-texel build in
+    tests/test_atmosphere.py::test_skyview_rowwise_close."""
     u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
     uu, vv = jnp.meshgrid(u, v)
@@ -544,6 +631,37 @@ def compute_skyview_lut(
         ],
         axis=-1,
     )
+    if rowwise and not fast:
+        radius_o = jnp.linalg.norm(origin_mm)
+        elev_row = elevation[:, :1]  # elevation is row-constant by build
+        dir_row = jnp.stack(
+            [
+                jnp.zeros_like(elev_row),
+                jnp.sin(elev_row),
+                jnp.cos(elev_row),
+            ],
+            axis=-1,
+        )  # (h, 1, 3)
+        origin_row = jnp.broadcast_to(
+            jnp.stack(
+                [
+                    jnp.zeros_like(radius_o),
+                    radius_o,
+                    jnp.zeros_like(radius_o),
+                ]
+            ),
+            dir_row.shape,
+        )
+        dist_row = raycast_atmosphere(atmo, origin_row, dir_row)
+        a_r, a_m = _scattering_integral_components(
+            atmo, transmittance_lut, origin_row, dir_row, dist_row
+        )
+        sun = atmo.incident_direction_sun
+        incident_cos = jnp.sum(sun * (-direction), axis=-1)
+        phase_r = phase_rayleigh(incident_cos)[..., None]
+        phase_m = phase_mie(incident_cos, 0.8)[..., None]
+        return phase_r * a_r + phase_m * a_m
+
     origin = jnp.broadcast_to(origin_mm, direction.shape)
     distance = raycast_atmosphere(atmo, origin, direction)
     integral = (

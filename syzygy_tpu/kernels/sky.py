@@ -8,6 +8,7 @@ ad-hoc ``pow(10 * luminance * sunIntensity + surfaceLuminance, 1.2)`` tonemap
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from syzygy_tpu.kernels.atmosphere import (
@@ -217,6 +218,101 @@ def reflect_direction(normal, outgoing):
     return 2.0 * parallel - outgoing
 
 
+# ---------------------------------------------------------------------------
+# Aerial-perspective froxel LUT (production Hillaire; RenderConfig.aerial_lut)
+# ---------------------------------------------------------------------------
+
+
+def build_aerial_lut(
+    atmo: AtmospherePacked,
+    transmittance_lut,
+    camera: CameraPacked,
+    origin_mm: jnp.ndarray,  # (3,) camera position in sky space (+y up, Mm)
+    t_max_mm: float,
+    n_x: int = 32,
+    n_y: int = 32,
+    n_slices: int = 16,
+) -> jnp.ndarray:
+    """Camera-frustum aerial-perspective LUT (Hillaire's production froxel
+    volume): ``lut[y, x, j]`` = the EXACT reference in-scattering integral
+    (``computeLuminanceScatteringIntegral``) along the camera ray through
+    screen point ((x+.5)/n_x, (y+.5)/n_y), marched to distance
+    ``(j+1)/n_slices)^2 * t_max_mm`` (square slice spacing: resolution
+    where aerial perspective changes fastest). Geometry pixels then
+    interpolate this 32x32x16 volume instead of each running their own
+    32-step march — the integrand is smooth in (direction, distance), so
+    trilinear error is far below the parity budget (measured in
+    tests/test_sky.py::test_aerial_lut_mode_close)."""
+    xs = ((jnp.arange(n_x, dtype=jnp.float32) + 0.5) / n_x - 0.5) * 2.0
+    ys = ((jnp.arange(n_y, dtype=jnp.float32) + 0.5) / n_y - 0.5) * 2.0
+    clip_uv = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (n_y, n_x)),
+            jnp.broadcast_to(ys[:, None], (n_y, n_x)),
+        ],
+        axis=-1,
+    )
+    ones = jnp.ones((n_y, n_x, 1), jnp.float32)
+    view_h = jnp.concatenate([clip_uv, ones, ones], axis=-1) @ (
+        camera.inverse_projection.T
+    )
+    direction = (view_h @ camera.rotation.T)[..., :3]
+    direction = direction / _norm3(direction)
+    direction = direction * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+
+    origin = jnp.broadcast_to(origin_mm, direction.shape)
+    fracs = ((jnp.arange(n_slices, dtype=jnp.float32) + 1.0) / n_slices) ** 2
+
+    def one_slice(frac):
+        return luminance_scattering_integral(
+            atmo,
+            transmittance_lut,
+            origin,
+            direction,
+            jnp.full((n_y, n_x), frac * t_max_mm, jnp.float32),
+        )
+
+    sliced = jax.lax.map(one_slice, fracs)  # (n_slices, n_y, n_x, 3)
+    return jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 3)
+
+
+def sample_aerial_lut(aerial, uv, dist_mm, t_max_mm: float) -> jnp.ndarray:
+    """Trilinear sample of :func:`build_aerial_lut`'s volume at screen uv
+    ([0,1]^2) and ray distance (Mm). Clamp-to-edge in all three axes."""
+    n_y, n_x, n_s = aerial.shape[0], aerial.shape[1], aerial.shape[2]
+    x = jnp.clip(uv[..., 0] * n_x - 0.5, 0.0, n_x - 1.0)
+    y = jnp.clip(uv[..., 1] * n_y - 0.5, 0.0, n_y - 1.0)
+    # slice centers are at distance ((j+1)/n)^2 * t_max -> inverse: sqrt
+    s = jnp.clip(
+        jnp.sqrt(jnp.maximum(dist_mm, 0.0) / t_max_mm) * n_s - 1.0,
+        -1.0,
+        n_s - 1.0,
+    )
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    s0f = jnp.floor(s)
+    s0 = jnp.maximum(s0f, -1.0).astype(jnp.int32)  # -1 = implicit zero slice
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fs = (s - s0f)[..., None]
+    x1 = jnp.minimum(x0 + 1, n_x - 1)
+    y1 = jnp.minimum(y0 + 1, n_y - 1)
+    s1 = jnp.minimum(s0 + 1, n_s - 1)
+    flat = aerial.reshape(n_y * n_x * n_s, 3)
+
+    def tap(yy, xx, ss):
+        valid = (ss >= 0)[..., None]
+        idx = (yy * n_x + xx) * n_s + jnp.maximum(ss, 0)
+        return jnp.where(valid, flat[idx], 0.0)
+
+    def slice_pair(yy, xx):
+        return tap(yy, xx, s0) * (1.0 - fs) + tap(yy, xx, s1) * fs
+
+    top = slice_pair(y0, x0) * (1 - fx) + slice_pair(y0, x1) * fx
+    bot = slice_pair(y1, x0) * (1 - fx) + slice_pair(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
+
+
 def sky_camera_pass(
     scene_color: jnp.ndarray,  # (H, W, 3) lit geometry (surfaceLuminance src)
     scene_depth: jnp.ndarray,  # (H, W)
@@ -231,6 +327,21 @@ def sky_camera_pass(
     row_origin=0,  # global row of this block's first row (image sharding)
     metallic_reflection: bool = True,  # camera.comp:379-387 (ad-hoc bounce)
     fast: bool = False,  # fast in-scattering integral (atmosphere.py)
+    # fast integral for the metallic-reflection environment only: the
+    # aerial-perspective term of a reflected ray is a second-order effect
+    # (scaled by metallic * fresnel * segment transmittance), so the
+    # exp-step integral's deviation lands far below the 1e-3 parity budget
+    # while halving the pass's 32-step integral count.
+    fast_reflection: bool = False,
+    # aerial-perspective LUT mode (build_aerial_lut): replaces ALL per-pixel
+    # 32-step integrals — geometry pixels trilinear-sample the froxel
+    # volume, ground-hit environment pixels reuse the skyview LUT (which
+    # integrates the identical path: camera -> planet hit), and the
+    # metallic bounce's aerial reuses the skyview LUT from the surface
+    # (the reference itself samples the camera-built skyview LUT at
+    # surface positions, camera.comp:286-301).
+    aerial=None,  # (n_y, n_x, n_slices, 3) from build_aerial_lut, or None
+    aerial_t_max: float = 0.0,  # Mm; must match build_aerial_lut's t_max
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -280,14 +391,30 @@ def sky_camera_pass(
     hit, dist_planet = _hit_planet(atmo, pos_grid, direction)
     dist_surface = jnp.linalg.norm(sky_material.position - pos_grid, axis=-1)
     shared_dist = jnp.where(is_env, dist_planet, dist_surface)
-    integral = (
-        luminance_scattering_integral_fast
-        if fast
-        else luminance_scattering_integral
-    )
-    shared_aerial = integral(
-        atmo, transmittance_lut, pos_grid, direction, shared_dist
-    )
+    if aerial is not None:
+        # geometry rays: froxel volume; environment ground rays: the skyview
+        # LUT already stores the identical camera->planet-hit integral
+        uv = jnp.stack(
+            [
+                jnp.broadcast_to(xs * 0.5 + 0.5, (h, w)),
+                jnp.broadcast_to(ys * 0.5 + 0.5, (h, w)),
+            ],
+            axis=-1,
+        )
+        geom_aerial = sample_aerial_lut(
+            aerial, uv, dist_surface, aerial_t_max
+        )
+        env_aerial = sample_skyview(atmo, skyview_lut, pos_grid, direction)
+        shared_aerial = jnp.where(is_env[..., None], env_aerial, geom_aerial)
+    else:
+        integral = (
+            luminance_scattering_integral_fast
+            if fast
+            else luminance_scattering_integral
+        )
+        shared_aerial = integral(
+            atmo, transmittance_lut, pos_grid, direction, shared_dist
+        )
 
     # Branch A: background / underground -> environment (camera.comp:354-361)
     env, disk = sample_environment(
@@ -318,9 +445,14 @@ def sky_camera_pass(
             transmittance_lut, atmo, pos_grid, sky_material.position
         )
         refl_dir = reflect_direction(sky_material.normal, -direction)
+        refl_aerial = (
+            sample_skyview(atmo, skyview_lut, sky_material.position, refl_dir)
+            if aerial is not None
+            else None
+        )
         refl_env, refl_disk = sample_environment(
             atmo, transmittance_lut, skyview_lut, sky_material.position,
-            refl_dir, fast=fast,
+            refl_dir, fast=fast or fast_reflection, aerial=refl_aerial,
         )
         refl = refl_env + refl_disk * sun_shadow[..., None]
         geo_transfer = geo_transfer + (

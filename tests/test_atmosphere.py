@@ -158,3 +158,29 @@ def test_fast_integral(atmo):
     assert diff.max() < 0.03, diff.max()
     rmse = float(np.sqrt((diff**2).mean()))
     assert rmse < 3e-3, rmse
+
+
+def test_skyview_rowwise(atmo):
+    """The rowwise skyview builder (default) vs the per-texel build: exact
+    on-axis up to float-summation order everywhere except the horizon row
+    (where the in-scatter integral is discontinuity-sensitive); bounded
+    deviation for realistic off-axis camera origins. Frame-level impact
+    measured at max 1.4e-4 / RMSE 6.4e-6 (renderer/frame.py)."""
+    lut = atm.pack_lut(atm.compute_transmittance_lut(atmo))
+    for origin, max_tol, rmse_tol in [
+        (jnp.asarray([0.0, 6.3601, 0.0], jnp.float32), 5e-3, 2e-4),
+        (jnp.asarray([18e-6, 6.360016, -22e-6], jnp.float32), 8e-2, 3e-3),
+    ]:
+        exact = np.asarray(
+            atm.compute_skyview_lut(
+                atmo, origin, lut, width=256, height=128, rowwise=False
+            )
+        )
+        row = np.asarray(
+            atm.compute_skyview_lut(
+                atmo, origin, lut, width=256, height=128, rowwise=True
+            )
+        )
+        d = np.abs(exact - row)
+        assert d.max() < max_tol, d.max()
+        assert float(np.sqrt((d**2).mean())) < rmse_tol

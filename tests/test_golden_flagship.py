@@ -114,6 +114,8 @@ def test_atmosphere_luts_match_golden():
     state = jax.jit(prepare_frame_state)(params)
     t_lut = np.asarray(compute_transmittance_lut(state.atmosphere))
     origin = np.array([0.0, 6.3601, 0.0], np.float32)
+    # rowwise=False pins the quirk-exact per-texel build; the default
+    # rowwise builder is covered by test_atmosphere.py::test_skyview_rowwise
     s_lut = np.asarray(
         compute_skyview_lut(
             state.atmosphere,
@@ -121,6 +123,7 @@ def test_atmosphere_luts_match_golden():
             t_lut,
             width=256,
             height=128,
+            rowwise=False,
         )
     )
     ref = np.load(ATMOSPHERE_LUTS)

@@ -154,3 +154,41 @@ def test_matrix_color_demo():
     assert np.allclose(img[0:16, 0:16, 0], red[0, 0])
     assert img[0, 48, 0] == pytest.approx(red[0, 3])
     assert img[48, 0, 0] == pytest.approx(red[3, 0])
+
+
+def test_aerial_lut_mode_close():
+    """aerial_lut mode (froxel volume + skyview reuse) vs the per-pixel
+    32-step integrals: whole-frame deviation far inside the 1e-3 parity
+    budget (measured RMSE ~1.5e-4 at 512x288 flagship / 256x128 default)."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, aerial_lut=False))
+    )
+    b = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, aerial_lut=True))
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 5e-4, d.max()
+    assert d.max() < 2e-2, d.max()

@@ -175,7 +175,7 @@ def main():
                 height=cfg.skyview_height,
             )
             return jnp.minimum(
-                (t_lut[0, 0, 0] + sky_lut[0, 0, 0]) * 1e-30, 0.0
+                (t_lut.quad[0, 0] + sky_lut[0, 0, 0]) * 1e-30, 0.0
             )
 
         @jax.jit
