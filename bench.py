@@ -17,8 +17,12 @@ measurements, docs/BENCHMARKS.md):
   frame slices its row on device.
 * Deep submission queues (50+ heavy frames in flight) wedge the remote
   worker (tools/tunnel_probe.py phase D hung; r1 saw crash loops), so
-  frames are measured one-in-flight, sequentially. This is an honest
-  UPPER bound per frame: no cross-frame pipelining is counted.
+  frames run in small GROUPS of 4: within a group, frame N+1's params are
+  data-dependent on frame N's pixels (a device-side fold — chaining
+  scalar programs is free), and one 4-byte fetch forces the whole group.
+  This amortizes the per-wait tunnel round trip (~0.4 s) over 4 frames
+  while staying far below the queue depth that wedges the worker. The
+  result is an honest UPPER bound: no cross-group pipelining is counted.
 """
 
 import json
@@ -62,9 +66,12 @@ def _flagship_scene():
     return scene, library
 
 
-def _measure_scene(scene, library, config, frames: int = 12) -> float:
-    """Median ms/frame, each frame forced by a 4-byte fetch (see module
-    docstring). Animated params; one stacked H2D upload before timing."""
+def _measure_scene(
+    scene, library, config, frames: int = 12, group: int = 4
+) -> float:
+    """Median ms/frame over groups of ``group`` chained frames, each group
+    forced by a 4-byte fetch (see module docstring). Animated params; one
+    stacked H2D upload before timing."""
     import jax
     import jax.numpy as jnp
 
@@ -93,34 +100,42 @@ def _measure_scene(scene, library, config, frames: int = 12) -> float:
     device = accelerator_device()
     stacked = jax.device_put(np.stack(rows), device)
 
+    # fold the previous frame's scalar into this frame's params row ON
+    # DEVICE (a pure data dependency; no H2D inside the timed loop)
     row_of = jax.jit(
-        lambda s, i: jax.lax.dynamic_index_in_dim(s, i, keepdims=False)
+        lambda s, i, p: jax.lax.dynamic_index_in_dim(s, i, keepdims=False)
+        .at[0]
+        .add(jnp.minimum(p * 1e-30, 0.0))
     )
     tail = jax.jit(lambda img: img[0, 0, 0] * 1e-30)
 
     def fetch(x):
         return float(np.asarray(jax.device_get(x)).reshape(-1)[0])
 
-    # fetch-latency estimate (subtracted per frame)
+    # fetch-latency estimate (subtracted per group)
     small = jax.jit(lambda x: x + 1)(jnp.zeros(()))
     jax.block_until_ready(small)
     t0 = time.perf_counter()
     fetch(small)
     fetch_s = time.perf_counter() - t0
 
-    def frame(i):
-        flat = row_of(stacked, jnp.int32(i))
+    def frame(i, prev):
+        flat = row_of(stacked, jnp.int32(i), prev)
         img = render_frame_packed(geometry, flat, spec, config)
         return tail(img)
 
-    v = fetch(frame(0))  # compile + warm-up frame, fully forced
+    v = fetch(frame(0, jnp.zeros((), jnp.float32)))  # compile + warm-up
     assert np.isfinite(v)
 
     times = []
-    for i in range(1, frames + 1):
+    prev = jnp.zeros((), jnp.float32)
+    for g0 in range(1, frames + 1, group):
+        n = min(group, frames + 1 - g0)
         t0 = time.perf_counter()
-        v = fetch(frame(i))
-        times.append(time.perf_counter() - t0 - fetch_s)
+        for i in range(g0, g0 + n):
+            prev = frame(i, prev)
+        v = fetch(prev)  # forces the whole chained group
+        times.append((time.perf_counter() - t0 - fetch_s) / n)
     assert np.isfinite(v)
     return float(np.median(times)) * 1000.0
 

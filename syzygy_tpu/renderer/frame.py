@@ -266,8 +266,12 @@ def _shadow_pass(
         )
         return _dispatch_raster(setup, dim, dim, config, depth_only=True).depth
 
-    # lax.map (sequential) rather than vmap: each light's triangle setup is
-    # O(T) temporary memory, and 18 concurrent copies OOM at ~250k triangles.
+    # Sequential per-light rasters rather than vmap: each light's triangle
+    # setup is O(T) temporary memory, and 18 concurrent copies OOM at ~250k
+    # triangles. Single-chip path: dynamic-trip-count loop so only ACTIVE
+    # lights raster (an n_shadow_maps=10 config with 3 live lights skips 7
+    # setup+grid passes; inactive slots keep the zero map, identical to an
+    # empty raster).
     if shard_axis is not None:
         n_dev = jax.lax.axis_size(shard_axis)
         my = jax.lax.axis_index(shard_axis)
@@ -285,7 +289,22 @@ def _shadow_pass(
         gathered = jax.lax.all_gather(local, shard_axis)  # (n_dev, per_dev, ...)
         maps = gathered.reshape(n_dev * per_dev, dim, dim)[:n_maps]
     else:
-        maps = jax.lax.map(lambda args: one_light(*args), (pv, active))
+        n_active = jnp.minimum(
+            N_DIRECTIONAL + state.spot_count, jnp.int32(n_maps)
+        )
+
+        def raster_one(i, maps):
+            depth = one_light(pv[i], jnp.bool_(True))
+            return jax.lax.dynamic_update_slice(
+                maps, depth[None], (i, 0, 0)
+            )
+
+        maps = jax.lax.fori_loop(
+            0,
+            n_active,
+            raster_one,
+            jnp.zeros((n_maps, dim, dim), jnp.float32),
+        )
     total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
     if maps.shape[0] < total_lights:
         maps = jnp.concatenate(

@@ -147,29 +147,39 @@ def main():
             img = _stage_sky.__wrapped__(state, lit2, depth, gb, smaps, cfg)
             return jnp.minimum(img[0, 0, 0] * 1e-30, 0.0)
 
-        @jax.jit
-        def luts_chain(state, eps):
-            from syzygy_tpu.kernels.atmosphere import (
-                METERS_PER_MM,
-                compute_skyview_lut,
-                compute_transmittance_lut,
+        from syzygy_tpu.kernels.atmosphere import (
+            METERS_PER_MM,
+            compute_skyview_lut,
+            compute_transmittance_lut,
+            pack_lut,
+        )
+
+        def _origin(atmo, state):
+            o = state.camera.position[:3] / METERS_PER_MM
+            o = o * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+            return o + jnp.array(
+                [0.0, atmo.planet_radius_mm, 0.0], jnp.float32
             )
 
-            from syzygy_tpu.kernels.atmosphere import pack_lut
+        @jax.jit
+        def tlut_chain(state, eps):
+            atmo = state.atmosphere._replace(
+                sun_intensity_spectrum=state.atmosphere.sun_intensity_spectrum
+                + eps * 1e-30
+            )
+            t_lut = compute_transmittance_lut(atmo)
+            return jnp.minimum(t_lut[0, 0, 0] * 1e-30, 0.0)
 
+        @jax.jit
+        def luts_chain(state, eps):
             atmo = state.atmosphere._replace(
                 sun_intensity_spectrum=state.atmosphere.sun_intensity_spectrum
                 + eps * 1e-30
             )
             t_lut = pack_lut(compute_transmittance_lut(atmo))
-            origin_mm = state.camera.position[:3] / METERS_PER_MM
-            origin_mm = origin_mm * jnp.array([1.0, -1.0, 1.0], jnp.float32)
-            origin_mm = origin_mm + jnp.array(
-                [0.0, atmo.planet_radius_mm, 0.0], jnp.float32
-            )
             sky_lut = compute_skyview_lut(
                 atmo,
-                origin_mm,
+                _origin(atmo, state),
                 t_lut,
                 width=cfg.skyview_width,
                 height=cfg.skyview_height,
@@ -245,12 +255,15 @@ def main():
             "stage_sky     ",
             lambda eps: sky_chain(state, lit, vis.depth, gb, smaps, eps),
         )
+        t = timed_chain(
+            "  t-LUT build  ", lambda eps: tlut_chain(state, eps)
+        )
         u = timed_chain(
-            "  LUTs only   ", lambda eps: luts_chain(state, eps)
+            "  t+sky LUTs   ", lambda eps: luts_chain(state, eps)
         )
         print(
             f"  sum of stages : {g + l + s:9.3f} ms "
-            f"(sky minus LUTs ~{s - u:.3f})",
+            f"(camera pass ~{s - u:.1f}, skyview build ~{u - t:.1f})",
             flush=True,
         )
 

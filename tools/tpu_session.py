@@ -27,15 +27,19 @@ def wait_healthy(attempts=20):
 
 
 def timed(name, fn, n=10):
+    """DEPRECATED measurement: block_until_ready through this tunnel acks
+    before the device finishes, so these numbers are enqueue-rate fantasy
+    (see CLAUDE.md item 7). Use tools/stage_budget.py's chained-scalar
+    double-pass method for honest per-stage timing; kept only for relative
+    smoke comparisons."""
     import jax
 
     jax.block_until_ready(fn())  # compile
-    # chain without intermediate blocking (frames-in-flight analog)
     t0 = time.perf_counter()
     outs = [fn() for _ in range(n)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n * 1000
-    print(f"  {name}: {dt:8.3f} ms", flush=True)
+    print(f"  {name}: {dt:8.3f} ms (NOT trustworthy; see docstring)", flush=True)
     return dt
 
 
