@@ -85,6 +85,9 @@ def main() -> None:
                         help="live property editing (PropertyTable analog): "
                         "seed this JSON with the scene, then re-render "
                         "whenever the file changes; loops until --frames")
+    parser.add_argument("--mipmaps", action="store_true",
+                        help="trilinear mipmapped textures "
+                        "(beyond-parity; reference is single-mip)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -156,7 +159,9 @@ def main() -> None:
         supersample=args.supersample,
         oetf=args.oetf,
     )
-    geometry = place_on_accelerator(pack_geometry(scene, library))
+    geometry = place_on_accelerator(
+        pack_geometry(scene, library, mipmaps=args.mipmaps)
+    )
     aspect = args.width / args.height
     params = pack_frame_params(scene, aspect, debug_lines=args.debug_lines)
     spec = frame_param_spec(params)
@@ -210,7 +215,9 @@ def main() -> None:
             watch_mtime = os.stat(args.watch).st_mtime
             try:
                 scene = load_scene(args.watch, mesh_by_name.get)
-                geometry = place_on_accelerator(pack_geometry(scene, library))
+                geometry = place_on_accelerator(
+                    pack_geometry(scene, library, mipmaps=args.mipmaps)
+                )
                 log.info("reloaded %s", args.watch)
             except Exception as e:  # keep rendering the last good scene
                 log.error("reload failed (%s); keeping previous scene", e)

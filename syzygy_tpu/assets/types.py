@@ -173,6 +173,42 @@ class TextureLibrary:
             atlas[y0 : y0 + h, x0 : x0 + w] = tex
         return atlas, rects.astype(np.int32)
 
+    def as_atlas_mips(
+        self, levels: int = 6
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pack a full mip pyramid of every texture into one atlas.
+
+        Beyond-parity quality feature (the reference is single-mip:
+        ``assets.cpp:701-711`` allocates one level). Returns
+        (atlas (A_h, A_w, 4) f32, rects (N, levels, 4) i32): row
+        ``rects[i, l]`` is texture i's level-l placement; textures that
+        bottom out early repeat their last level. Level l is the bilinear
+        half-size reduction of level l-1 (REPEAT-safe: downsampling never
+        crosses texture borders because each level is reduced
+        independently before packing).
+        """
+        pyramids: list[list[np.ndarray]] = []
+        for tex in self._textures or [np.zeros((1, 1, 4), np.float32)]:
+            chain = [tex]
+            for _ in range(levels - 1):
+                h, w = chain[-1].shape[:2]
+                if h == 1 and w == 1:
+                    chain.append(chain[-1])
+                else:
+                    chain.append(
+                        _resize_bilinear(
+                            chain[-1], max(h // 2, 1), max(w // 2, 1)
+                        )
+                    )
+            pyramids.append(chain)
+
+        flat = [img for chain in pyramids for img in chain]
+        packer = TextureLibrary(max_size=self.max_size)
+        packer._textures = flat
+        atlas, flat_rects = packer.as_atlas()
+        rects = flat_rects.reshape(len(pyramids), levels, 4)
+        return atlas, rects
+
     def __len__(self) -> int:
         return len(self._textures)
 

@@ -101,7 +101,34 @@ def sample_atlas_repeat(
     texture's own rect, and all four taps are wrapped per-texel before the
     atlas offset is applied, so filtering is seam-correct across the wrap.
     """
-    r = rects[tex_ids]  # (..., 4)
+    return _sample_atlas_rect(rects[tex_ids], atlas, uv)
+
+
+def sample_atlas_trilinear(
+    tex_ids: jnp.ndarray,  # (...,) i32 into the rect table
+    atlas: jnp.ndarray,  # (A_h, A_w, 4) f32
+    rects_mips: jnp.ndarray,  # (N, L, 4) i32 per-level rects
+    uv: jnp.ndarray,  # (..., 2)
+    lod: jnp.ndarray,  # (...,) f32 mip level (continuous)
+) -> jnp.ndarray:
+    """Trilinear (mipmapped) atlas sampling — beyond-parity quality
+    (the reference allocates single-mip images, ``assets.cpp:701-711``).
+    Two bilinear taps at floor/ceil levels, lerped by the lod fraction."""
+    n_levels = rects_mips.shape[1]
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    fl = (lod - l0)[..., None]
+    a = _sample_atlas_rect(rects_mips[tex_ids, l0], atlas, uv)
+    b = _sample_atlas_rect(rects_mips[tex_ids, l1], atlas, uv)
+    return a * (1.0 - fl) + b * fl
+
+
+def _sample_atlas_rect(
+    r: jnp.ndarray,  # (..., 4) i32 [x0, y0, w, h] per sample
+    atlas: jnp.ndarray,
+    uv: jnp.ndarray,
+) -> jnp.ndarray:
     x0r, y0r = r[..., 0], r[..., 1]
     w = r[..., 2]
     h = r[..., 3]
@@ -198,9 +225,35 @@ def resolve_gbuffer(
 
     mat = geometry.materials[geometry.tri_material[orig]]  # (H, W, 3)
     atlas, rects = geometry.tex_atlas, geometry.tex_rects
-    color_tex = sample_atlas_repeat(mat[..., 0], atlas, rects, uv)
-    normal_tex = sample_atlas_repeat(mat[..., 1], atlas, rects, uv)
-    orm_tex = sample_atlas_repeat(mat[..., 2], atlas, rects, uv)
+    if geometry.tex_rects_mips is not None:
+        # screen-space uv footprint via quad-style finite differences
+        # (hardware dFdx analog; cross-triangle edges inherit neighbor
+        # deltas, same artifact class as GPU 2x2 quad derivatives)
+        dudx = jnp.abs(uv - jnp.roll(uv, 1, axis=1))
+        dudy = jnp.abs(uv - jnp.roll(uv, 1, axis=0))
+        rect0 = geometry.tex_rects_mips[:, 0]  # (N, 4) level-0 dims
+
+        def lod_for(ids):
+            dims = rect0[ids][..., 2:4].astype(jnp.float32)  # (H, W, 2)
+            fp = jnp.maximum(
+                jnp.max(dudx * dims, axis=-1), jnp.max(dudy * dims, axis=-1)
+            )
+            return jnp.log2(jnp.maximum(fp, 1.0))
+
+        mips = geometry.tex_rects_mips
+        color_tex = sample_atlas_trilinear(
+            mat[..., 0], atlas, mips, uv, lod_for(mat[..., 0])
+        )
+        normal_tex = sample_atlas_trilinear(
+            mat[..., 1], atlas, mips, uv, lod_for(mat[..., 1])
+        )
+        orm_tex = sample_atlas_trilinear(
+            mat[..., 2], atlas, mips, uv, lod_for(mat[..., 2])
+        )
+    else:
+        color_tex = sample_atlas_repeat(mat[..., 0], atlas, rects, uv)
+        normal_tex = sample_atlas_repeat(mat[..., 1], atlas, rects, uv)
+        orm_tex = sample_atlas_repeat(mat[..., 2], atlas, rects, uv)
 
     # Normal map decode (offscreen.frag:50-55): unsigned -> signed, green-up
     nmap = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)

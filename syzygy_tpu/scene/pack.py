@@ -63,6 +63,10 @@ class GeometryStatic(NamedTuple):
     # native-resolution texture atlas (assets/types.py::TextureLibrary):
     tex_atlas: jnp.ndarray  # (A_h, A_w, 4) f32, linear light
     tex_rects: jnp.ndarray  # (N, 4) i32 [x0, y0, w, h] per texture
+    # optional mip pyramid (pack_geometry(mipmaps=True); beyond-parity —
+    # the reference is single-mip): (N, L, 4) i32 per-level rects into the
+    # same atlas, or None for single-mip sampling
+    tex_rects_mips: jnp.ndarray | None = None
 
 
 class FrameParams(NamedTuple):
@@ -158,7 +162,10 @@ def _morton_order(centroids: np.ndarray) -> np.ndarray:
 
 
 def pack_geometry(
-    scene: Scene, texture_library, spatial_sort: bool = True
+    scene: Scene,
+    texture_library,
+    spatial_sort: bool = True,
+    mipmaps: bool = False,
 ) -> GeometryStatic:
     """Flatten all renderable instances into one padded triangle soup.
 
@@ -166,6 +173,10 @@ def pack_geometry(
     curve (pack-time transforms; animation drift is fine — only locality
     matters). Rendering is order-independent except for z-ties, where
     "later submission wins" follows the sorted order.
+
+    ``mipmaps`` packs a per-texture mip pyramid into the atlas and enables
+    trilinear minification in the resolve pass (beyond-parity quality; the
+    reference is single-mip).
     """
     positions, normals, uvs, colors, vert_instance = [], [], [], [], []
     triangles, tri_material, tri_shadow, tri_centroid = [], [], [], []
@@ -229,7 +240,12 @@ def pack_geometry(
     tri_valid = np.zeros(t_cap, bool)
     tri_valid[:n_tris] = True
 
-    atlas, rects = texture_library.as_atlas()
+    if mipmaps:
+        atlas, rects_mips = texture_library.as_atlas_mips()
+        rects = rects_mips[:, 0]
+    else:
+        atlas, rects = texture_library.as_atlas()
+        rects_mips = None
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),
@@ -246,6 +262,9 @@ def pack_geometry(
         materials=jnp.asarray(np.asarray(materials, np.int32).reshape(-1, 3)),
         tex_atlas=jnp.asarray(atlas),
         tex_rects=jnp.asarray(rects),
+        tex_rects_mips=(
+            jnp.asarray(rects_mips) if rects_mips is not None else None
+        ),
     )
 
 

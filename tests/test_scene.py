@@ -109,8 +109,9 @@ def test_host_pack_scales_flat_to_10k_instances():
     # wave animation went through the SoA block
     assert np.std(params.translations[:, 1]) > 0.1
     # generous CI bound: vectorized path runs in ~1 ms; the old per-object
-    # loop took ~100 ms at this count
-    assert dt_ms < 40, f"host pack took {dt_ms:.1f} ms for 10k instances"
+    # loop took ~100 ms at this count (bound is loose: the suite may share
+    # the machine with other jobs)
+    assert dt_ms < 80, f"host pack took {dt_ms:.1f} ms for 10k instances"
 
 
 def test_default_scene_packs():
