@@ -84,6 +84,14 @@ def _measure_scene(
         pack_geometry,
     )
 
+    import dataclasses
+
+    from syzygy_tpu.scene import scene_uses_metallic
+
+    if not scene_uses_metallic(scene, library):
+        # bounce multiplies to exactly 0 -> skipping is bitwise-identical
+        config = dataclasses.replace(config, metallic_reflection=False)
+
     aspect = config.width / config.height
     geometry = place_on_accelerator(pack_geometry(scene, library))
     params0 = pack_frame_params(scene, aspect)

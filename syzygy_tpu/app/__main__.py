@@ -119,6 +119,7 @@ def main() -> None:
         frame_param_spec,
         pack_frame_params,
         pack_geometry,
+        scene_uses_metallic,
     )
 
     scene, library = _build_scene(args)
@@ -158,6 +159,8 @@ def main() -> None:
         debug_lines=args.debug_lines,
         supersample=args.supersample,
         oetf=args.oetf,
+        # static skip is bitwise-identical when no material is metallic
+        metallic_reflection=scene_uses_metallic(scene, library),
     )
     geometry = place_on_accelerator(
         pack_geometry(scene, library, mipmaps=args.mipmaps)

@@ -65,10 +65,19 @@ _COEFF_WIDTH = 12
 _TILE_PACK = 4096.0
 
 
-def _rotate_indices(rot):
-    """(r, r+1, r+2) mod 3 gather indices, shape (T, 3)."""
-    base = jnp.arange(3, dtype=jnp.int32)[None, :]
-    return (rot[:, None] + base) % 3
+def _rotate_corners(arr, rot):
+    """Rotate the corner axis (axis 1, size 3) of ``arr`` by per-row ``rot``.
+
+    Select between the three static rotations instead of a per-row
+    ``take_along_axis`` — data-dependent gathers are the TPU bottleneck
+    (tools/gather_bench.py) while whole-array selects are VPU-cheap.
+    Identical values to the gather formulation."""
+    r1 = jnp.concatenate([arr[:, 1:], arr[:, :1]], axis=1)
+    r2 = jnp.concatenate([arr[:, 2:], arr[:, :2]], axis=1)
+    expand = (slice(None),) + (None,) * (arr.ndim - 1)
+    return jnp.where(
+        (rot == 1)[expand], r1, jnp.where((rot == 2)[expand], r2, arr)
+    )
 
 
 def setup_triangles(
@@ -107,12 +116,13 @@ def setup_triangles(
     rot_one = jnp.argmax(inside, axis=-1).astype(jnp.int32)
     rot_two = jnp.argmin(inside, axis=-1).astype(jnp.int32)
     rot = jnp.where(n_in == 1, rot_one, jnp.where(n_in == 2, rot_two, 0))
-    gather = _rotate_indices(rot)  # (T, 3)
 
-    v = jnp.take_along_axis(tri_corner_clip, gather[..., None], axis=1)  # (T,3,4)
+    v = _rotate_corners(tri_corner_clip, rot)  # (T, 3, 4)
     # original-triangle barycentric coords of the 3 original corners, rotated
     eye_bary = jnp.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], jnp.float32)
-    vb = eye_bary[gather]  # (T, 3, 2)
+    vb = _rotate_corners(
+        jnp.broadcast_to(eye_bary[None], (rot.shape[0], 3, 2)), rot
+    )  # (T, 3, 2)
 
     v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
     b0c, b1c, b2c = vb[:, 0], vb[:, 1], vb[:, 2]
@@ -203,17 +213,6 @@ def setup_triangles(
 
     t2 = all_tris.shape[0]
     t2_pad = round_up(t2, chunk)
-    coeffs = jnp.zeros((t2_pad, _COEFF_WIDTH), jnp.float32)
-    coeffs = coeffs.at[:t2, 0].set(alpha0)
-    coeffs = coeffs.at[:t2, 1].set(beta0)
-    coeffs = coeffs.at[:t2, 2].set(gamma0)
-    coeffs = coeffs.at[:t2, 3].set(alpha1)
-    coeffs = coeffs.at[:t2, 4].set(beta1)
-    coeffs = coeffs.at[:t2, 5].set(gamma1)
-    coeffs = coeffs.at[:t2, 6].set(z2c)
-    coeffs = coeffs.at[:t2, 7].set(dz0)
-    coeffs = coeffs.at[:t2, 8].set(dz1)
-    coeffs = coeffs.at[:t2, 9].set(all_valid.astype(jnp.float32))
 
     # chunk x tile overlap mask from screen bboxes
     tiles_y = cdiv(grid_height, tile_h)
@@ -232,11 +231,19 @@ def setup_triangles(
 
     # per-triangle tile bbox for the kernel's skip test (tx1/ty1 stored +1
     # so the packed value stays non-negative; empty range for invalid slots)
-    coeffs = coeffs.at[:t2, 10].set(
-        tx0.astype(jnp.float32) * _TILE_PACK + (tx1 + 1).astype(jnp.float32)
+    packx = tx0.astype(jnp.float32) * _TILE_PACK + (tx1 + 1).astype(jnp.float32)
+    packy = ty0.astype(jnp.float32) * _TILE_PACK + (ty1 + 1).astype(jnp.float32)
+    # ONE stacked assembly + pad (12 separate column scatters cost 12
+    # full-array copies)
+    coeffs = jnp.stack(
+        [
+            alpha0, beta0, gamma0, alpha1, beta1, gamma1,
+            z2c, dz0, dz1, all_valid.astype(jnp.float32), packx, packy,
+        ],
+        axis=-1,
     )
-    coeffs = coeffs.at[:t2, 11].set(
-        ty0.astype(jnp.float32) * _TILE_PACK + (ty1 + 1).astype(jnp.float32)
+    coeffs = jnp.concatenate(
+        [coeffs, jnp.zeros((t2_pad - t2, _COEFF_WIDTH), jnp.float32)], axis=0
     )
 
     # Reduce per-triangle tile ranges to per-chunk tile bboxes BEFORE

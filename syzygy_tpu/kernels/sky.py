@@ -273,13 +273,59 @@ def build_aerial_lut(
         )
 
     sliced = jax.lax.map(one_slice, fracs)  # (n_slices, n_y, n_x, 3)
-    return jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 3)
+    aerial = jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 3)
 
-
-def sample_aerial_lut(aerial, uv, dist_mm, t_max_mm: float) -> jnp.ndarray:
-    """Trilinear sample of :func:`build_aerial_lut`'s volume at screen uv
-    ([0,1]^2) and ray distance (Mm). Clamp-to-edge in all three axes."""
+    # Quad-pack the trilinear footprint: entry (y, x, s) holds all 8 corner
+    # triples (24 contiguous f32), so a sample is ONE gather (the same
+    # trick as atmosphere.PackedLUT; the volume is only ~1.5 MB packed).
     n_y, n_x, n_s = aerial.shape[0], aerial.shape[1], aerial.shape[2]
+    xr = jnp.minimum(jnp.arange(n_x) + 1, n_x - 1)
+    yd = jnp.minimum(jnp.arange(n_y) + 1, n_y - 1)
+    sn = jnp.minimum(jnp.arange(n_s) + 1, n_s - 1)
+    a00 = aerial
+    a01 = aerial[:, xr]
+    a10 = aerial[yd]
+    a11 = aerial[yd][:, xr]
+    packed = jnp.concatenate(
+        [
+            a00,
+            a01,
+            a10,
+            a11,
+            a00[:, :, sn],
+            a01[:, :, sn],
+            a10[:, :, sn],
+            a11[:, :, sn],
+        ],
+        axis=-1,
+    )  # (n_y, n_x, n_s, 24): [s0: 00,01,10,11 | s1: 00,01,10,11]
+    return AerialLUT(packed.reshape(n_y * n_x * n_s, 24), n_y, n_x, n_s)
+
+
+@jax.tree_util.register_pytree_node_class
+class AerialLUT:
+    """Quad-packed froxel volume from :func:`build_aerial_lut`."""
+
+    def __init__(self, packed: jnp.ndarray, n_y: int, n_x: int, n_s: int):
+        self.packed = packed  # (n_y * n_x * n_s, 24) f32
+        self.n_y = n_y
+        self.n_x = n_x
+        self.n_s = n_s
+
+    def tree_flatten(self):
+        return (self.packed,), (self.n_y, self.n_x, self.n_s)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
+    """Trilinear sample of :func:`build_aerial_lut`'s volume at screen uv
+    ([0,1]^2) and ray distance (Mm). Clamp-to-edge in y/x/far; distances
+    short of the first slice lerp toward an implicit zero slice. One
+    24-float gather per sample."""
+    n_y, n_x, n_s = aerial.n_y, aerial.n_x, aerial.n_s
     x = jnp.clip(uv[..., 0] * n_x - 0.5, 0.0, n_x - 1.0)
     y = jnp.clip(uv[..., 1] * n_y - 0.5, 0.0, n_y - 1.0)
     # slice centers are at distance ((j+1)/n)^2 * t_max -> inverse: sqrt
@@ -295,22 +341,20 @@ def sample_aerial_lut(aerial, uv, dist_mm, t_max_mm: float) -> jnp.ndarray:
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     fs = (s - s0f)[..., None]
-    x1 = jnp.minimum(x0 + 1, n_x - 1)
-    y1 = jnp.minimum(y0 + 1, n_y - 1)
-    s1 = jnp.minimum(s0 + 1, n_s - 1)
-    flat = aerial.reshape(n_y * n_x * n_s, 3)
 
-    def tap(yy, xx, ss):
-        valid = (ss >= 0)[..., None]
-        idx = (yy * n_x + xx) * n_s + jnp.maximum(ss, 0)
-        return jnp.where(valid, flat[idx], 0.0)
+    q = aerial.packed[(y0 * n_x + x0) * n_s + jnp.maximum(s0, 0)]  # (..., 24)
 
-    def slice_pair(yy, xx):
-        return tap(yy, xx, s0) * (1.0 - fs) + tap(yy, xx, s1) * fs
+    def bilin(block):  # block: (..., 12) corner triples 00,01,10,11
+        top = block[..., 0:3] * (1 - fx) + block[..., 3:6] * fx
+        bot = block[..., 6:9] * (1 - fx) + block[..., 9:12] * fx
+        return top * (1 - fy) + bot * fy
 
-    top = slice_pair(y0, x0) * (1 - fx) + slice_pair(y0, x1) * fx
-    bot = slice_pair(y1, x0) * (1 - fx) + slice_pair(y1, x1) * fx
-    return top * (1 - fy) + bot * fy
+    b0 = bilin(q[..., :12])
+    b1 = bilin(q[..., 12:])
+    # s0 == -1: the fetched entry's "slice 0" corners ARE slice 0; the
+    # implicit zero slice contributes nothing, leaving fs * slice0.
+    below = (s0 < 0)[..., None]
+    return jnp.where(below, fs * b0, b0 * (1.0 - fs) + b1 * fs)
 
 
 def sky_camera_pass(

@@ -193,6 +193,12 @@ class RenderConfig:
     # per-pixel 32-step integral.
     aerial_lut: bool = True
     aerial_lut_far_m: float = 4000.0  # froxel volume depth (meters)
+    # metallic-reflection environment bounce (camera.comp:379-387). When a
+    # scene provably contains no metallic material the bounce multiplies to
+    # exactly zero, so skipping it is bitwise-identical and saves ~10
+    # gathers/pixel — scene_uses_metallic(scene, library) gives callers the
+    # static answer (app auto-sets this).
+    metallic_reflection: bool = True
     # fast integral for the metallic-reflection environment bounce only
     # (camera.comp:379-387). The bounce's aerial term is second-order
     # (scaled by metallic * fresnel * segment transmittance): measured
@@ -433,6 +439,7 @@ def _stage_sky(
                 shadow_maps[0],
                 draw_extent=(config.render_width, config.render_height),
                 row_origin=origin_c,
+                metallic_reflection=config.metallic_reflection,
                 fast=config.fast_sky,
                 fast_reflection=config.fast_sky_reflection,
                 aerial=aerial,

@@ -268,6 +268,31 @@ def pack_geometry(
     )
 
 
+def scene_uses_metallic(scene: Scene, texture_library) -> bool:
+    """Host-side static scan: does ANY used material have nonzero metallic?
+
+    The metallic-reflection bounce (camera.comp:379-387) multiplies by the
+    sampled metallic channel, so for a scene where every used ORM texture's
+    metallic plane is zero the bounce contributes exactly 0 — callers may
+    set ``RenderConfig.metallic_reflection=False`` (bitwise-identical
+    output, ~10 fewer gathers/pixel)."""
+    orm_ids = set()
+    for instance in _renderable(scene):
+        for mesh in [instance.mesh]:
+            overrides = instance.material_overrides or [None] * len(
+                mesh.surfaces
+            )
+            for surface, override in zip(mesh.surfaces, overrides):
+                material = (
+                    override if override is not None else surface.material
+                )
+                orm_ids.add(material.orm)
+    for idx in orm_ids:
+        if float(texture_library.get(idx)[..., 2].max()) > 0.0:
+            return True
+    return False
+
+
 def pack_frame_params(
     scene: Scene, aspect_ratio: float, debug_lines: bool = False
 ) -> FrameParams:
