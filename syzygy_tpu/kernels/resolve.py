@@ -126,7 +126,7 @@ def sample_atlas_trilinear(
 
 def _sample_atlas_rect(
     r: jnp.ndarray,  # (..., 4) i32 [x0, y0, w, h] per sample
-    atlas: jnp.ndarray,
+    atlas: jnp.ndarray,  # (A_h, A_w, 4) plain or (A_h, A_w, 16) quad-packed
     uv: jnp.ndarray,
 ) -> jnp.ndarray:
     x0r, y0r = r[..., 0], r[..., 1]
@@ -140,13 +140,18 @@ def _sample_atlas_rect(
     fracy = (p_y - fy0)[..., None]
     ix0 = jnp.mod(fx0.astype(jnp.int32), w)
     iy0 = jnp.mod(fy0.astype(jnp.int32), h)
-    ix1 = jnp.where(ix0 + 1 >= w, 0, ix0 + 1)
-    iy1 = jnp.where(iy0 + 1 >= h, 0, iy0 + 1)
 
-    t00 = atlas[y0r + iy0, x0r + ix0]
-    t10 = atlas[y0r + iy0, x0r + ix1]
-    t01 = atlas[y0r + iy1, x0r + ix0]
-    t11 = atlas[y0r + iy1, x0r + ix1]
+    if atlas.shape[-1] == 16:  # quad-packed (assets.types.quad_pack_atlas)
+        q = atlas[y0r + iy0, x0r + ix0]  # one gather: the 2x2 footprint
+        t00, t10 = q[..., 0:4], q[..., 4:8]
+        t01, t11 = q[..., 8:12], q[..., 12:16]
+    else:
+        ix1 = jnp.where(ix0 + 1 >= w, 0, ix0 + 1)
+        iy1 = jnp.where(iy0 + 1 >= h, 0, iy0 + 1)
+        t00 = atlas[y0r + iy0, x0r + ix0]
+        t10 = atlas[y0r + iy0, x0r + ix1]
+        t01 = atlas[y0r + iy1, x0r + ix0]
+        t11 = atlas[y0r + iy1, x0r + ix1]
     top = t00 * (1.0 - fracx) + t10 * fracx
     bot = t01 * (1.0 - fracx) + t11 * fracx
     return top * (1.0 - fracy) + bot * fracy

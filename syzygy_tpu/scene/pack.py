@@ -240,12 +240,16 @@ def pack_geometry(
     tri_valid = np.zeros(t_cap, bool)
     tri_valid[:n_tris] = True
 
+    from syzygy_tpu.assets.types import quad_pack_atlas
+
     if mipmaps:
         atlas, rects_mips = texture_library.as_atlas_mips()
         rects = rects_mips[:, 0]
+        atlas = quad_pack_atlas(atlas, rects_mips)
     else:
         atlas, rects = texture_library.as_atlas()
         rects_mips = None
+        atlas = quad_pack_atlas(atlas, rects)
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),
