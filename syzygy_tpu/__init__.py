@@ -17,7 +17,16 @@ Layer map (mirrors SURVEY.md §7):
   app/      — headless driver loop, metrics                 (editor/)
 """
 
+import os as _os
+
 import jax as _jax
+
+# Opt-in CPU platform BEFORE the backend initializes (the axon plugin
+# ignores JAX_PLATFORMS, and `python -m syzygy_tpu.app` imports this
+# package before any flag parsing can run — the app's --cpu re-execs with
+# this variable set).
+if _os.environ.get("SZG_CPU") == "1":
+    _jax.config.update("jax_platforms", "cpu")
 
 # Geometry (4x4 transforms, vertex transforms, LUT math) needs true float32:
 # the default matmul precision lowers to bf16 on TPU, which visibly warps

@@ -95,10 +95,19 @@ def main() -> None:
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
     )
 
-    import jax
+    if args.cpu and os.environ.get("SZG_CPU") != "1":
+        # `python -m syzygy_tpu.app` imports the package (and initializes
+        # the jax backend) before argparse runs, so a config.update here is
+        # too late — re-exec with the env var the package __init__ honors.
+        import sys
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        os.environ["SZG_CPU"] = "1"
+        os.execv(
+            sys.executable,
+            [sys.executable, "-m", "syzygy_tpu.app", *sys.argv[1:]],
+        )
+
+    import jax
 
     import numpy as np
 

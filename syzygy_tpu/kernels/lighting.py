@@ -245,10 +245,24 @@ def deferred_lighting(
                 total,
             )
     else:
+        # Compact to lights that can contribute: a zero-strength light's
+        # spectral term is exactly 0 (the moon is 0 in daylight and vice
+        # versa, scene.cpp:603-610), so skipping it is bitwise-identical
+        # and saves its whole 5x5 PCF (the stage's dominant cost). Stable
+        # argsort keeps the surviving lights' accumulation order.
+        ids = jnp.arange(n_dir, dtype=jnp.int32)
+        emits = (
+            jnp.max(jnp.abs(directional.color[:, :3]), axis=-1)
+            * directional.strength
+        ) > 0.0
+        active = (
+            (ids >= directional_skip) & (ids < directional_count) & emits
+        )
+        order = jnp.argsort(~active, stable=True).astype(jnp.int32)
         total = jax.lax.fori_loop(
-            directional_skip,
-            jnp.minimum(directional_count, n_dir),
-            dir_body,
+            0,
+            jnp.sum(active.astype(jnp.int32)),
+            lambda i, t: dir_body(order[i], t),
             total,
         )
 
@@ -294,8 +308,17 @@ def deferred_lighting(
                 total,
             )
     else:
+        jds = jnp.arange(n_spot, dtype=jnp.int32)
+        s_emits = (
+            jnp.max(jnp.abs(spots.color[:, :3]), axis=-1) * spots.strength
+        ) > 0.0
+        s_active = (jds < spot_count) & s_emits
+        s_order = jnp.argsort(~s_active, stable=True).astype(jnp.int32)
         total = jax.lax.fori_loop(
-            0, jnp.minimum(spot_count, n_spot), spot_body, total
+            0,
+            jnp.sum(s_active.astype(jnp.int32)),
+            lambda j, t: spot_body(s_order[j], t),
+            total,
         )
 
     return jnp.where(lit_mask, total, 0.0)
