@@ -93,6 +93,7 @@ def setup_triangles(
     grid_width: int | None = None,
     grid_height: int | None = None,
     grid_origin=(0, 0),  # global (y, x) pixel origin of the raster target
+    corner_clip: jnp.ndarray | None = None,  # (T, 3, 4) pre-gathered corners
 ) -> TriSetup:
     """Vectorized triangle setup with near-plane clipping.
 
@@ -103,10 +104,16 @@ def setup_triangles(
     ``width``/``height`` define the viewport (NDC -> pixel mapping, the
     reference's sceneSubregion extent); ``grid_width``/``grid_height`` the
     padded raster target the tile mask covers (default: rounded up to tiles).
+
+    ``corner_clip`` lets callers that run the setup repeatedly (the shadow
+    pass: one raster per light) supply per-triangle corner positions
+    directly and skip the (T, 3)-row vertex gather — e.g. gather WORLD
+    corners once and transform by each light's projView (``clip`` is then
+    ignored and may be None).
     """
     grid_width = round_up(width, tile_w) if grid_width is None else grid_width
     grid_height = round_up(height, tile_h) if grid_height is None else grid_height
-    tri_corner_clip = clip[triangles]  # (T, 3, 4)
+    tri_corner_clip = clip[triangles] if corner_clip is None else corner_clip
     w = tri_corner_clip[..., 3]  # (T, 3)
     inside = w >= W_CLIP_EPS  # (T, 3)
     n_in = inside.sum(axis=-1)  # (T,)

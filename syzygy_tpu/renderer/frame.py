@@ -258,10 +258,15 @@ def _shadow_pass(
 
     tri_valid = geometry.tri_valid & geometry.tri_casts_shadow
 
+    # Gather world-space triangle corners ONCE; each light only pays a
+    # (T, 3, 4) @ (4, 4) transform instead of re-gathering 2T vertex rows
+    # per raster (the gather is the setup's dominant cost on TPU).
+    corners_world = world_h[geometry.triangles]  # (T, 3, 4)
+
     def one_light(light_pv, is_active):
-        clip = world_h @ light_pv.T  # (V, 4)
+        corner_clip = jnp.einsum("tcj,ij->tci", corners_world, light_pv)
         setup = setup_triangles(
-            clip,
+            None,
             geometry.triangles,
             tri_valid & is_active,
             dim,
@@ -269,6 +274,7 @@ def _shadow_pass(
             cull_keep_sign=-1,  # front-face culling (pipelines.cpp:654-663)
             tile_h=TILE_H,
             tile_w=TILE_W,
+            corner_clip=corner_clip,
         )
         return _dispatch_raster(setup, dim, dim, config, depth_only=True).depth
 
