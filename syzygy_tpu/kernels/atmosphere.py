@@ -303,7 +303,12 @@ def step_radius_mu(start: RaymarchStep, step_distance) -> RaymarchStep:
 
 
 def sample_transmittance_raymarch_step(atmo, lut, start: RaymarchStep, step_distance):
-    """``sampleTransmittanceLUT_RayMarchStep`` (``common.glinl:336-361``)."""
+    """``sampleTransmittanceLUT_RayMarchStep`` (``common.glinl:336-361``).
+
+    Kept as the 1:1 port of the reference function; the production
+    integrals inline an equivalent form with the step-invariant origin
+    sample hoisted out of the loop (see
+    :func:`luminance_scattering_integral`)."""
     end = step_radius_mu(start, step_distance)
     up = start.mu > 0.0
     a_r = jnp.where(up, start.radius, end.radius)
