@@ -39,8 +39,9 @@ from syzygy_tpu.scene.camera import CameraPacked
 from syzygy_tpu.scene.lights import DirectionalLight
 
 
-def sample_skyview(atmo: AtmospherePacked, skyview_lut, position, direction):
-    """``sampleMap_Direction`` (``camera.comp:70-121``)."""
+def _skyview_uv(atmo: AtmospherePacked, position, direction):
+    """Direction -> skyview LUT (u, v), ``sampleMap_Direction``
+    (``camera.comp:70-121``)."""
     normalized = direction / _norm3(direction)
     sin_horizon = atmo.planet_radius_mm / _norm3(position)[..., 0]
     horizon_zenith = PI - jnp.arcsin(jnp.clip(sin_horizon, -1.0, 1.0))
@@ -74,7 +75,31 @@ def sample_skyview(atmo: AtmospherePacked, skyview_lut, position, direction):
         * 0.5
         + 0.5
     )
+    return u, v
+
+
+def sample_skyview(atmo: AtmospherePacked, skyview_lut, position, direction):
+    """``sampleMap_Direction`` (``camera.comp:70-121``)."""
+    u, v = _skyview_uv(atmo, position, direction)
     return sample_lut_bilinear(skyview_lut, u, v)
+
+
+def sample_skyview_ground(
+    atmo: AtmospherePacked, skyview_lut, position, direction
+):
+    """Skyview sample for a PLANET-HITTING ray, used when the LUT stands in
+    for the per-pixel aerial integral (aerial_lut mode). Clamps v so both
+    bilinear rows lie in the below-horizon half: interpolating across the
+    v=0.5 horizon row mixes bright sky-escape in-scatter into ground rays
+    (measured up to ~0.47 at 1080p near the horizon line)."""
+    if hasattr(skyview_lut, "h"):
+        h = skyview_lut.h
+    else:
+        h = skyview_lut.shape[0]
+    u, v = _skyview_uv(atmo, position, direction)
+    return sample_lut_bilinear(
+        skyview_lut, u, jnp.maximum(v, 0.5 + 0.5 / h)
+    )
 
 
 def _norm3(v):
@@ -448,7 +473,9 @@ def sky_camera_pass(
         geom_aerial = sample_aerial_lut(
             aerial, uv, dist_surface, aerial_t_max
         )
-        env_aerial = sample_skyview(atmo, skyview_lut, pos_grid, direction)
+        env_aerial = sample_skyview_ground(
+            atmo, skyview_lut, pos_grid, direction
+        )
         shared_aerial = jnp.where(is_env[..., None], env_aerial, geom_aerial)
     else:
         integral = (
@@ -490,7 +517,9 @@ def sky_camera_pass(
         )
         refl_dir = reflect_direction(sky_material.normal, -direction)
         refl_aerial = (
-            sample_skyview(atmo, skyview_lut, sky_material.position, refl_dir)
+            sample_skyview_ground(
+                atmo, skyview_lut, sky_material.position, refl_dir
+            )
             if aerial is not None
             else None
         )
