@@ -179,9 +179,52 @@ def main() -> None:
             if not _wait_healthy():
                 break
 
-    # secondary: the textured flagship chess scene (goes to "extra"; the
-    # driver's schema keys stay the headline metric)
+    # secondary metrics (in "extra"; the driver's schema keys stay the
+    # headline): the textured flagship chess scene and the dense-raster
+    # stress field (the scene where the rasterizer dominates)
     extra = {}
+    try:
+        if ms_per_frame is not None:
+            from syzygy_tpu.assets import (
+                TextureLibrary,
+                register_default_textures,
+                sphere_mesh,
+            )
+            from syzygy_tpu.scene import Scene, TransformHost
+
+            dense = Scene()
+            dlib = TextureLibrary()
+            mat = register_default_textures(dlib)
+            mesh = sphere_mesh(mat, rings=32, segments=64)
+            side = 8
+            dense.add_mesh_instance(
+                mesh,
+                "spheres",
+                [
+                    TransformHost.make(
+                        (
+                            8.0 * (i % side) - 4.0 * side,
+                            -6.0,
+                            8.0 * (i // side) - 4.0 * side,
+                        )
+                    )
+                    for i in range(64)
+                ],
+            )
+            dense.tick(0.0)
+            from syzygy_tpu.math.geometry import eulers_from_forward
+
+            eye = np.array([18.0, -16.0, -22.0], np.float32)
+            target = np.array([0.0, -6.0, 0.0], np.float32)
+            dense.camera.position = tuple(eye)
+            dense.camera.euler_angles = tuple(
+                np.asarray(eulers_from_forward(target - eye))
+            )
+            extra["dense_254k_tris_ms"] = round(
+                _measure_scene(dense, dlib, config, frames=6), 3
+            )
+    except Exception as e:
+        extra["dense_error"] = f"{type(e).__name__}: {str(e)[:80]}"
     try:
         if ms_per_frame is not None:
             from syzygy_tpu.assets.chess import flagship_scene
