@@ -262,3 +262,30 @@ def test_camera_fly_input():
     cam2 = Camera(position=(0.0, 0.0, 0.0), euler_angles=(0.0, 0.0, math.pi / 2))
     cam2.handle_input(1.0, keys=frozenset("w"), speed=1.0)
     np.testing.assert_allclose(cam2.position, [1.0, 0, 0], atol=1e-6)
+
+
+def test_scene_uses_metallic_detection():
+    from syzygy_tpu.assets import (
+        TextureLibrary,
+        cube_mesh,
+        register_default_textures,
+    )
+    from syzygy_tpu.scene import Scene, TransformHost, scene_uses_metallic
+
+    lib = TextureLibrary()
+    mat = register_default_textures(lib)  # default ORM has zero metallic
+    s = Scene()
+    s.add_mesh_instance(cube_mesh(mat), "c", [TransformHost.make((0, 0, 0))])
+    assert scene_uses_metallic(s, lib) is False
+
+    metal_orm = np.zeros((4, 4, 4), np.float32)
+    metal_orm[..., 2] = 1.0  # metallic channel
+    midx = lib.register("metal_orm", metal_orm)
+    from syzygy_tpu.assets.types import MaterialData
+
+    mat2 = MaterialData(color=mat.color, normal=mat.normal, orm=midx)
+    s2 = Scene()
+    s2.add_mesh_instance(
+        cube_mesh(mat2), "m", [TransformHost.make((0, 0, 0))]
+    )
+    assert scene_uses_metallic(s2, lib) is True
