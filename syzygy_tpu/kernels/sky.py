@@ -201,11 +201,17 @@ def sample_environment(
 
 def geometry_luminance_transfer(
     atmo, transmittance_lut, origin, direction, material_pos, material: PBRTexel,
-    shadow_factor, aerial=None,
+    shadow_factor, aerial=None, t_surface=None,
 ):
-    """``computeGeometryLuminanceTransfer`` (``camera.comp:237-278``)."""
+    """``computeGeometryLuminanceTransfer`` (``camera.comp:237-278``).
+
+    ``t_surface`` optionally injects a precomputed camera->surface path
+    transmittance (the aerial froxel volume stores it)."""
     surface = material_pos
-    t_surface = sample_transmittance_segment(transmittance_lut, atmo, origin, surface)
+    if t_surface is None:
+        t_surface = sample_transmittance_segment(
+            transmittance_lut, atmo, origin, surface
+        )
     light_dir = _normalize(-atmo.incident_direction_sun)[None, None, :]
     view_dir = -direction / _norm3(direction)
     shadowed_by_planet, _ = _hit_planet(
@@ -289,20 +295,27 @@ def build_aerial_lut(
     fracs = ((jnp.arange(n_slices, dtype=jnp.float32) + 1.0) / n_slices) ** 2
 
     def one_slice(frac):
-        return luminance_scattering_integral(
-            atmo,
-            transmittance_lut,
-            origin,
-            direction,
-            jnp.full((n_y, n_x), frac * t_max_mm, jnp.float32),
+        dist = jnp.full((n_y, n_x), frac * t_max_mm, jnp.float32)
+        lum = luminance_scattering_integral(
+            atmo, transmittance_lut, origin, direction, dist
         )
+        # path transmittance camera -> slice, the same LUT-segment form the
+        # per-pixel pass uses (camera.comp:303-...; sampled per froxel here)
+        t_seg = sample_transmittance_segment(
+            transmittance_lut,
+            atmo,
+            origin,
+            origin + dist[..., None] * direction,
+        )
+        return jnp.concatenate([lum, t_seg], axis=-1)  # (n_y, n_x, 6)
 
-    sliced = jax.lax.map(one_slice, fracs)  # (n_slices, n_y, n_x, 3)
-    aerial = jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 3)
+    sliced = jax.lax.map(one_slice, fracs)  # (n_slices, n_y, n_x, 6)
+    aerial = jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 6)
 
     # Quad-pack the trilinear footprint: entry (y, x, s) holds all 8 corner
-    # triples (24 contiguous f32), so a sample is ONE gather (the same
-    # trick as atmosphere.PackedLUT; the volume is only ~1.5 MB packed).
+    # records (in-scatter rgb + path-T rgb = 48 contiguous f32), so a
+    # sample is ONE gather (the same trick as atmosphere.PackedLUT; the
+    # volume is only ~3 MB packed).
     n_y, n_x, n_s = aerial.shape[0], aerial.shape[1], aerial.shape[2]
     xr = jnp.minimum(jnp.arange(n_x) + 1, n_x - 1)
     yd = jnp.minimum(jnp.arange(n_y) + 1, n_y - 1)
@@ -323,16 +336,17 @@ def build_aerial_lut(
             a11[:, :, sn],
         ],
         axis=-1,
-    )  # (n_y, n_x, n_s, 24): [s0: 00,01,10,11 | s1: 00,01,10,11]
-    return AerialLUT(packed.reshape(n_y * n_x * n_s, 24), n_y, n_x, n_s)
+    )  # (n_y, n_x, n_s, 48): [s0: 00,01,10,11 | s1: 00,01,10,11], 6ch each
+    return AerialLUT(packed.reshape(n_y * n_x * n_s, 48), n_y, n_x, n_s)
 
 
 @jax.tree_util.register_pytree_node_class
 class AerialLUT:
-    """Quad-packed froxel volume from :func:`build_aerial_lut`."""
+    """Quad-packed froxel volume from :func:`build_aerial_lut`: per entry
+    8 trilinear corner records of (in-scatter rgb, path-transmittance rgb)."""
 
     def __init__(self, packed: jnp.ndarray, n_y: int, n_x: int, n_s: int):
-        self.packed = packed  # (n_y * n_x * n_s, 24) f32
+        self.packed = packed  # (n_y * n_x * n_s, 48) f32
         self.n_y = n_y
         self.n_x = n_x
         self.n_s = n_s
@@ -347,9 +361,10 @@ class AerialLUT:
 
 def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
     """Trilinear sample of :func:`build_aerial_lut`'s volume at screen uv
-    ([0,1]^2) and ray distance (Mm). Clamp-to-edge in y/x/far; distances
-    short of the first slice lerp toward an implicit zero slice. One
-    24-float gather per sample."""
+    ([0,1]^2) and ray distance (Mm) -> (in-scatter rgb, path-T rgb).
+    Clamp-to-edge in y/x/far; distances short of the first slice lerp
+    toward the implicit distance-0 slice (no in-scatter, T = 1). One
+    48-float gather per sample."""
     n_y, n_x, n_s = aerial.n_y, aerial.n_x, aerial.n_s
     x = jnp.clip(uv[..., 0] * n_x - 0.5, 0.0, n_x - 1.0)
     y = jnp.clip(uv[..., 1] * n_y - 0.5, 0.0, n_y - 1.0)
@@ -367,19 +382,27 @@ def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
     fy = (y - y0)[..., None]
     fs = (s - s0f)[..., None]
 
-    q = aerial.packed[(y0 * n_x + x0) * n_s + jnp.maximum(s0, 0)]  # (..., 24)
+    q = aerial.packed[(y0 * n_x + x0) * n_s + jnp.maximum(s0, 0)]  # (..., 48)
 
-    def bilin(block):  # block: (..., 12) corner triples 00,01,10,11
-        top = block[..., 0:3] * (1 - fx) + block[..., 3:6] * fx
-        bot = block[..., 6:9] * (1 - fx) + block[..., 9:12] * fx
+    def bilin(block):  # block: (..., 24) corner records 00,01,10,11 (6ch)
+        top = block[..., 0:6] * (1 - fx) + block[..., 6:12] * fx
+        bot = block[..., 12:18] * (1 - fx) + block[..., 18:24] * fx
         return top * (1 - fy) + bot * fy
 
-    b0 = bilin(q[..., :12])
-    b1 = bilin(q[..., 12:])
+    b0 = bilin(q[..., :24])
+    b1 = bilin(q[..., 24:])
     # s0 == -1: the fetched entry's "slice 0" corners ARE slice 0; the
-    # implicit zero slice contributes nothing, leaving fs * slice0.
+    # implicit distance-0 slice has zero in-scatter and unit transmittance.
+    zero_slice = jnp.concatenate(
+        [jnp.zeros_like(b0[..., :3]), jnp.ones_like(b0[..., 3:])], axis=-1
+    )
     below = (s0 < 0)[..., None]
-    return jnp.where(below, fs * b0, b0 * (1.0 - fs) + b1 * fs)
+    out = jnp.where(
+        below,
+        zero_slice * (1.0 - fs) + b0 * fs,
+        b0 * (1.0 - fs) + b1 * fs,
+    )
+    return out[..., 0:3], out[..., 3:6]
 
 
 def sky_camera_pass(
@@ -470,7 +493,7 @@ def sky_camera_pass(
             ],
             axis=-1,
         )
-        geom_aerial = sample_aerial_lut(
+        geom_aerial, geom_t_surface = sample_aerial_lut(
             aerial, uv, dist_surface, aerial_t_max
         )
         env_aerial = sample_skyview_ground(
@@ -478,6 +501,7 @@ def sky_camera_pass(
         )
         shared_aerial = jnp.where(is_env[..., None], env_aerial, geom_aerial)
     else:
+        geom_t_surface = None
         integral = (
             luminance_scattering_integral_fast
             if fast
@@ -509,11 +533,16 @@ def sky_camera_pass(
         sky_material,
         sun_shadow,
         aerial=shared_aerial,
+        t_surface=geom_t_surface,
     )
     # ad-hoc single-bounce metallic reflection (camera.comp:379-387)
     if metallic_reflection:
-        t_surface = sample_transmittance_segment(
-            transmittance_lut, atmo, pos_grid, sky_material.position
+        t_surface = (
+            geom_t_surface
+            if geom_t_surface is not None
+            else sample_transmittance_segment(
+                transmittance_lut, atmo, pos_grid, sky_material.position
+            )
         )
         refl_dir = reflect_direction(sky_material.normal, -direction)
         refl_aerial = (
