@@ -172,9 +172,10 @@ class RenderConfig:
     raster_tile_w: int = 128
     raster_chunk: int = 64
     # sky camera pass row chunking (0 = auto): the pass runs as lax.map over
-    # this many row blocks. Per-pixel math is unchanged (bitwise identical);
-    # needed because this backend's compiler crashes on the single-program
-    # pass above ~0.6 Mpx (tpu_compile_helper exit 1 at 1920x1088).
+    # this many row blocks. Per-pixel math is unchanged (differences stay at
+    # XLA fusion/reassociation noise, observed <= ~2e-5); needed because
+    # this backend's compiler crashes on the single-program pass above
+    # ~0.6 Mpx (tpu_compile_helper exit 1 at 1920x1088).
     sky_row_chunks: int = 0
     # fast in-scattering integral (Hillaire production accumulation, 1 LUT
     # gather/step instead of 5 — kernels/atmosphere.py). Opt-in speed mode:

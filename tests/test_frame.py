@@ -181,16 +181,26 @@ def test_sharded_supersampling_matches_staged(frame_setup):
     assert np.abs(out[0] - single).mean() < 2e-3
 
 
-def test_sky_row_chunks_bitwise_identical(frame_setup):
+def test_sky_row_chunks_equivalent(frame_setup):
     """The chunked sky camera pass (platform-compiler workaround at 1080p)
-    must produce EXACTLY the unchunked image — per-pixel math only."""
+    computes the same per-pixel math as the unchunked one. The two compile
+    as different program shapes, so XLA's fusion/reassociation choices may
+    differ at float-noise level (observed up to ~2e-5; the parity budget
+    is 1e-3) — in both the quirk-exact and aerial-LUT paths."""
     import dataclasses
 
     _, geometry, params, config = frame_setup
-    base = np.asarray(render_frame(geometry, params, config))
-    cfg4 = dataclasses.replace(config, sky_row_chunks=4)
-    chunked = np.asarray(render_frame(geometry, params, cfg4))
-    np.testing.assert_array_equal(base, chunked)
+    for cfg in (
+        dataclasses.replace(config, aerial_lut=False),
+        config,
+    ):
+        base = np.asarray(render_frame(geometry, params, cfg))
+        chunked = np.asarray(
+            render_frame(
+                geometry, params, dataclasses.replace(cfg, sky_row_chunks=4)
+            )
+        )
+        np.testing.assert_allclose(base, chunked, atol=1e-4)
 
 
 def test_supersampling_shape_and_smoothing(frame_setup):
