@@ -108,17 +108,19 @@ class GLTFFile:
         self._buffer_cache[index] = data
         return data
 
-    def accessor(self, index: int) -> np.ndarray:
-        acc = self.gltf["accessors"][index]
-        count = acc["count"]
-        n_comp = _TYPE_COUNTS[acc["type"]]
-        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    def _read_view(
+        self,
+        view_index: int,
+        byte_offset: int,
+        count: int,
+        n_comp: int,
+        dtype,
+    ) -> np.ndarray:
+        """Dense (possibly interleaved/strided) bufferView read."""
         itemsize = np.dtype(dtype).itemsize * n_comp
-        if "bufferView" not in acc:
-            return np.zeros((count, n_comp), dtype)
-        view = self.gltf["bufferViews"][acc["bufferView"]]
+        view = self.gltf["bufferViews"][view_index]
         data = self.buffer(view["buffer"])
-        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        start = view.get("byteOffset", 0) + byte_offset
         stride = view.get("byteStride", itemsize)
         if stride == itemsize:
             arr = np.frombuffer(
@@ -133,6 +135,55 @@ class GLTFFile:
             )
             arr = strided.copy().view(dtype).reshape(count, n_comp)
         return np.array(arr)
+
+    def accessor(self, index: int) -> np.ndarray:
+        """Read an accessor the way fastgltf's getAccessorElement does
+        (``assets.cpp:887-1091`` reads every attribute through it):
+
+        * missing ``bufferView`` -> zeros (spec: sparse base or all-zero)
+        * ``sparse`` substitution applied on top of the base array
+        * ``normalized`` integer accessors convert to f32 in [0, 1] /
+          [-1, 1] (unsigned: v / max; signed: max(v / max, -1), glTF spec
+          table) — raw integers would silently corrupt u8/u16 UV and color
+          attributes, common in Khronos sample assets.
+        """
+        acc = self.gltf["accessors"][index]
+        count = acc["count"]
+        n_comp = _TYPE_COUNTS[acc["type"]]
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        if "bufferView" not in acc:
+            arr = np.zeros((count, n_comp), dtype)
+        else:
+            arr = self._read_view(
+                acc["bufferView"], acc.get("byteOffset", 0), count, n_comp, dtype
+            )
+        sparse = acc.get("sparse")
+        if sparse:
+            arr = arr.copy()
+            s_count = sparse["count"]
+            s_idx_spec = sparse["indices"]
+            s_idx = self._read_view(
+                s_idx_spec["bufferView"],
+                s_idx_spec.get("byteOffset", 0),
+                s_count,
+                1,
+                _COMPONENT_DTYPES[s_idx_spec["componentType"]],
+            ).reshape(-1).astype(np.int64)
+            s_val_spec = sparse["values"]
+            s_val = self._read_view(
+                s_val_spec["bufferView"],
+                s_val_spec.get("byteOffset", 0),
+                s_count,
+                n_comp,
+                dtype,
+            )
+            arr[s_idx] = s_val
+        if acc.get("normalized") and np.issubdtype(np.dtype(dtype), np.integer):
+            info = np.iinfo(dtype)
+            arr = arr.astype(np.float32) / np.float32(info.max)
+            if info.min < 0:
+                arr = np.maximum(arr, -1.0)
+        return arr
 
     def image_rgba(self, image_index: int) -> np.ndarray:
         """Decode an image entry to (H, W, 4) uint8 (stb_image's role)."""

@@ -251,16 +251,18 @@ def deferred_lighting(
                 total,
             )
     else:
-        # Compact to lights that can contribute: a zero-strength light's
-        # spectral term is exactly 0 (the moon is 0 in daylight and vice
-        # versa, scene.cpp:603-610), so skipping it is bitwise-identical
-        # and saves its whole 5x5 PCF (the stage's dominant cost). Stable
-        # argsort keeps the surviving lights' accumulation order.
+        # Compact to lights that can contribute: a light whose
+        # color*strength product is exactly 0 has a spectral term of 0
+        # (the moon is 0 in daylight and vice versa, scene.cpp:603-610),
+        # so skipping it is bitwise-identical (assuming finite BRDFs) —
+        # and saves its whole 5x5 PCF (the stage's dominant cost). The
+        # != test keeps negative-strength lights live. Stable argsort
+        # keeps the surviving lights' accumulation order.
         ids = jnp.arange(n_dir, dtype=jnp.int32)
         emits = (
             jnp.max(jnp.abs(directional.color[:, :3]), axis=-1)
             * directional.strength
-        ) > 0.0
+        ) != 0.0
         active = (
             (ids >= directional_skip) & (ids < directional_count) & emits
         )
@@ -317,7 +319,7 @@ def deferred_lighting(
         jds = jnp.arange(n_spot, dtype=jnp.int32)
         s_emits = (
             jnp.max(jnp.abs(spots.color[:, :3]), axis=-1) * spots.strength
-        ) > 0.0
+        ) != 0.0
         s_active = (jds < spot_count) & s_emits
         s_order = jnp.argsort(~s_active, stable=True).astype(jnp.int32)
         total = jax.lax.fori_loop(

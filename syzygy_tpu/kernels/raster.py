@@ -94,6 +94,8 @@ def setup_triangles(
     grid_height: int | None = None,
     grid_origin=(0, 0),  # global (y, x) pixel origin of the raster target
     corner_clip: jnp.ndarray | None = None,  # (T, 3, 4) pre-gathered corners
+    depth_bias_constant: float = 0.0,
+    depth_bias_slope: float = 0.0,
 ) -> TriSetup:
     """Vectorized triangle setup with near-plane clipping.
 
@@ -110,6 +112,16 @@ def setup_triangles(
     directly and skip the (T, 3)-row vertex gather — e.g. gather WORLD
     corners once and transform by each light's projView (``clip`` is then
     ignored and may be None).
+
+    ``depth_bias_constant``/``depth_bias_slope`` reproduce
+    ``vkCmdSetDepthBias(cmd, constant, 0, slope)`` as recorded by the
+    reference's shadow depth pass (``renderer/pipelines.cpp:716``,
+    ``shadowpass.hpp:26-27``): fragment depth gets ``constant * r +
+    slope * m`` added, with r = 2^-23 (D32_SFLOAT minimum resolvable
+    difference at z < 1) and m = max(|dz/dx|, |dz/dy|) per triangle. The
+    offset is constant within a triangle, so it folds into the affine z
+    coefficients; statically zero bias (the reference's default) leaves the
+    setup bitwise unchanged.
     """
     grid_width = round_up(width, tile_w) if grid_width is None else grid_width
     grid_height = round_up(height, tile_h) if grid_height is None else grid_height
@@ -217,6 +229,17 @@ def setup_triangles(
     z2c = sz[:, 2]
     dz0 = sz[:, 0] - sz[:, 2]
     dz1 = sz[:, 1] - sz[:, 2]
+
+    if depth_bias_constant != 0.0 or depth_bias_slope != 0.0:
+        # z(px, py) is affine: dz/dx = dz0*beta0 + dz1*beta1, dz/dy likewise.
+        slope_m = jnp.maximum(
+            jnp.abs(dz0 * beta0 + dz1 * beta1),
+            jnp.abs(dz0 * gamma0 + dz1 * gamma1),
+        )
+        z2c = z2c + (
+            depth_bias_constant * jnp.float32(2.0**-23)
+            + depth_bias_slope * slope_m
+        )
 
     t2 = all_tris.shape[0]
     t2_pad = round_up(t2, chunk)

@@ -189,6 +189,62 @@ def _cotangent_frame_normal(
     )
 
 
+RECORD_WIDTH = 49
+
+
+def build_resolve_records(
+    setup: TriSetup,
+    geometry: GeometryStatic,
+    world_positions: jnp.ndarray,  # (V, 3)
+    world_normals: jnp.ndarray,  # (V, 3)
+) -> jnp.ndarray:
+    """Pre-joined per-clipped-triangle attribute records, (T2, 49) f32.
+
+    The resolve's per-pixel data is all affine per-triangle: instead of ~8
+    separate (H, W)-row gathers per pixel (orig tri id, corner bary, corner
+    w, vertex indices, 3 attribute fetches, material id, rect rows), join
+    everything into one record per clipped-triangle slot at setup time so
+    the pixel pass does ONE wide gather (gathers are the TPU bottleneck,
+    ~0.2 G rows/s — tools/gather_bench.py). Corner attributes are
+    pre-mapped through the clip-corner barycentrics, so pixel interpolation
+    uses the raster triangle's perspective weights directly (algebraically
+    identical to interpolating original-corner attributes; float order
+    differs at rounding level). Replaces hardware per-fragment attribute
+    interpolation (``shaders/deferred/offscreen.vert:41-56``).
+
+    Layout: 0:3 corner w | 3:12 corner world pos | 12:21 corner normals |
+    21:27 corner uvs | 27:30 dp1 | 30:33 dp2 | 33:35 duv1 | 35:37 duv2 |
+    37:49 color/normal/orm atlas rects (exact small ints in f32).
+    """
+    idx = geometry.triangles[setup.orig_tri]  # (T2, 3)
+    p = world_positions[idx]  # (T2, 3, 3) original corners
+    n = world_normals[idx]  # (T2, 3, 3)
+    u = geometry.uvs[idx]  # (T2, 3, 2)
+    cb = setup.corner_bary  # (T2, 3, 2)
+    w3 = jnp.concatenate([cb, 1.0 - cb[..., 0:1] - cb[..., 1:2]], axis=-1)
+    cp = jnp.einsum("tkj,tjc->tkc", w3, p)  # clipped corners' attributes
+    cn = jnp.einsum("tkj,tjc->tkc", w3, n)
+    cu = jnp.einsum("tkj,tjc->tkc", w3, u)
+    rects = geometry.tex_rects[
+        geometry.materials[geometry.tri_material[setup.orig_tri]]
+    ]  # (T2, 3, 4) i32
+    t2 = idx.shape[0]
+    return jnp.concatenate(
+        [
+            setup.corner_w,
+            cp.reshape(t2, 9),
+            cn.reshape(t2, 9),
+            cu.reshape(t2, 6),
+            p[:, 1] - p[:, 0],
+            p[:, 2] - p[:, 0],
+            u[:, 1] - u[:, 0],
+            u[:, 2] - u[:, 0],
+            rects.reshape(t2, 12).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
 def resolve_gbuffer(
     vis: VisibilityBuffer,
     setup: TriSetup,
@@ -196,7 +252,81 @@ def resolve_gbuffer(
     world_positions: jnp.ndarray,  # (V, 3)
     world_normals: jnp.ndarray,  # (V, 3)
 ) -> GBuffer:
-    """Visibility buffer -> 5 G-buffer planes (one big gather pass)."""
+    """Visibility buffer -> 5 G-buffer planes.
+
+    Single-mip path: ONE pre-joined record gather + 3 atlas samples per
+    pixel (:func:`build_resolve_records`). Mipmapped path (beyond-parity)
+    keeps the multi-gather formulation (LOD-dependent rect rows can't be
+    pre-joined)."""
+    if geometry.tex_rects_mips is not None:
+        return _resolve_gbuffer_gathered(
+            vis, setup, geometry, world_positions, world_normals
+        )
+    valid = vis.tri >= 0  # (H, W)
+    tid = jnp.maximum(vis.tri, 0)
+    records = build_resolve_records(
+        setup, geometry, world_positions, world_normals
+    )
+    rec = records[tid]  # (H, W, 49): the one per-pixel record gather
+
+    corner_w = rec[..., 0:3]
+    sb = jnp.stack([vis.b0, vis.b1, 1.0 - vis.b0 - vis.b1], axis=-1)
+    pc = sb / jnp.maximum(corner_w, 1e-8)
+    pc = pc / jnp.maximum(jnp.sum(pc, axis=-1, keepdims=True), 1e-20)
+
+    hw = tid.shape
+
+    def interp(lo, c):  # corner-major (3, c) block at channel offset lo
+        block = rec[..., lo : lo + 3 * c].reshape(*hw, 3, c)
+        return jnp.einsum("hwk,hwkc->hwc", pc, block)
+
+    position = interp(3, 3)
+    normal_geo = interp(12, 3)
+    normal_geo = normal_geo / jnp.maximum(
+        jnp.linalg.norm(normal_geo, axis=-1, keepdims=True), 1e-20
+    )
+    uv = interp(21, 2)
+
+    atlas = geometry.tex_atlas
+    color_tex = _sample_atlas_rect(rec[..., 37:41].astype(jnp.int32), atlas, uv)
+    normal_tex = _sample_atlas_rect(rec[..., 41:45].astype(jnp.int32), atlas, uv)
+    orm_tex = _sample_atlas_rect(rec[..., 45:49].astype(jnp.int32), atlas, uv)
+
+    # Normal map decode (offscreen.frag:50-55): unsigned -> signed, green-up
+    nmap = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
+    nmap = nmap * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+    normal = _cotangent_frame_normal(
+        normal_geo,
+        rec[..., 27:30],
+        rec[..., 30:33],
+        rec[..., 33:35],
+        rec[..., 35:37],
+        nmap,
+    )
+
+    valid_f = valid[..., None].astype(jnp.float32)
+
+    def plane(rgb, alpha):
+        return jnp.concatenate([rgb, alpha], axis=-1) * valid_f
+
+    ones = jnp.ones((*valid.shape, 1), jnp.float32)
+    return GBuffer(
+        diffuse=plane(color_tex[..., :3], ones),
+        specular=plane(color_tex[..., :3], ones),
+        normal=plane(normal, jnp.zeros_like(ones)),
+        world_position=plane(position, ones),
+        orm=plane(orm_tex[..., :3], ones),
+    )
+
+
+def _resolve_gbuffer_gathered(
+    vis: VisibilityBuffer,
+    setup: TriSetup,
+    geometry: GeometryStatic,
+    world_positions: jnp.ndarray,  # (V, 3)
+    world_normals: jnp.ndarray,  # (V, 3)
+) -> GBuffer:
+    """Multi-gather resolve (mipmapped path; one big gather pass)."""
     valid = vis.tri >= 0  # (H, W)
     tid = jnp.maximum(vis.tri, 0)
 
@@ -231,11 +361,27 @@ def resolve_gbuffer(
     mat = geometry.materials[geometry.tri_material[orig]]  # (H, W, 3)
     atlas, rects = geometry.tex_atlas, geometry.tex_rects
     if geometry.tex_rects_mips is not None:
-        # screen-space uv footprint via quad-style finite differences
-        # (hardware dFdx analog; cross-triangle edges inherit neighbor
-        # deltas, same artifact class as GPU 2x2 quad derivatives)
-        dudx = jnp.abs(uv - jnp.roll(uv, 1, axis=1))
-        dudy = jnp.abs(uv - jnp.roll(uv, 1, axis=0))
+        # screen-space uv footprint via finite differences (hardware dFdx
+        # analog). Differences against a neighbor that is background or a
+        # different triangle are garbage (silhouettes would over-blur, and
+        # jnp.roll's wraparound would difference row/col 0 against the
+        # opposite screen edge) — mask those to 0, which resolves to LOD 0
+        # (sharp) at edges, the same failure direction GPU 2x2 quad
+        # derivatives choose at partial quads.
+        same_x = (jnp.roll(orig, 1, axis=1) == orig) & valid & jnp.roll(
+            valid, 1, axis=1
+        )
+        same_x = same_x.at[:, 0].set(False)
+        same_y = (jnp.roll(orig, 1, axis=0) == orig) & valid & jnp.roll(
+            valid, 1, axis=0
+        )
+        same_y = same_y.at[0, :].set(False)
+        dudx = jnp.where(
+            same_x[..., None], jnp.abs(uv - jnp.roll(uv, 1, axis=1)), 0.0
+        )
+        dudy = jnp.where(
+            same_y[..., None], jnp.abs(uv - jnp.roll(uv, 1, axis=0)), 0.0
+        )
         rect0 = geometry.tex_rects_mips[:, 0]  # (N, 4) level-0 dims
 
         def lod_for(ids):

@@ -199,14 +199,103 @@ def sample_environment(
     )
 
 
+def sample_environment_shared(
+    atmo, transmittance_lut, skyview_lut, position, direction
+):
+    """``sampleEnvironmentLuminanceTransfer`` (``camera.comp:286-301``) with
+    branch-shared gathers, for the aerial-LUT path.
+
+    The ground branch (planet hit) and the sky branch (miss) are mutually
+    exclusive per pixel, so their LUT lookups collapse by selecting INPUT
+    coordinates per branch before ONE gather each: the skyview sample (sky
+    luminance on miss / the ground ray's aerial+transfer stand-in on hit,
+    i.e. :func:`sample_skyview_ground`'s clamped v) and the transmittance
+    sample (surface->sun on hit / along-ray for the sun disk on miss).
+    Per-lane bitwise identical to
+    ``sample_environment(..., aerial=sample_skyview_ground(...))``;
+    equality pinned by tests/test_sky.py. 4 gathers total instead of 6."""
+    hit, dist = _hit_planet(atmo, position, direction)
+    surface = position + dist[..., None] * direction
+
+    # shared skyview gather (miss: v; hit: below-horizon clamped v)
+    h = skyview_lut.h if hasattr(skyview_lut, "h") else skyview_lut.shape[0]
+    u, v = _skyview_uv(atmo, position, direction)
+    v_sel = jnp.where(hit, jnp.maximum(v, 0.5 + 0.5 / h), v)
+    sky = sample_lut_bilinear(skyview_lut, u, v_sel)
+
+    # shared transmittance gather (hit: surface->sun; miss: ray for disk)
+    light_dir = -atmo.incident_direction_sun
+    ld_b = jnp.broadcast_to(light_dir, surface.shape)
+    r_srf = _norm3(surface)[..., 0]
+    mu_srf = jnp.sum(surface * ld_b, axis=-1) / (
+        r_srf * _norm3(ld_b)[..., 0]
+    )
+    r_ray = _norm3(position)[..., 0]
+    mu_ray = jnp.sum(position * direction, axis=-1) / (
+        r_ray * _norm3(direction)[..., 0]
+    )
+    from syzygy_tpu.kernels.atmosphere import sample_transmittance_rmu
+
+    t_shared = sample_transmittance_rmu(
+        transmittance_lut,
+        atmo,
+        jnp.where(hit, r_srf, r_ray),
+        jnp.where(hit, mu_srf, mu_ray),
+    )
+
+    # ground shading (sampleGround, camera.comp:203-235; t_sun = t_shared)
+    surface_normal = surface / _norm3(surface)
+    view_dir = -direction
+    halfway = _normalize(light_dir + view_dir)
+    spec_power = 160.0
+    microfacet = jnp.power(
+        jnp.clip(_dot1(halfway, surface_normal), 0.0, 1.0), spec_power
+    )
+    specular = (spec_power + 2.0) / 8.0 * microfacet
+    diffuse = 0.4 / PI
+    fresnel = 0.04 + (1.0 - 0.04) * jnp.power(
+        1.0 - jnp.clip(_dot1(halfway, light_dir), 0.0, 1.0), 5.0
+    )
+    albedo = diffuse * (1.0 - fresnel) + specular * fresnel
+    nl = jnp.clip(
+        jnp.sum(surface_normal * light_dir, axis=-1, keepdims=True), 0.0, 1.0
+    )
+    surface_lum = t_shared * albedo * nl
+    t_surface = sample_transmittance_segment(
+        transmittance_lut, atmo, position, surface
+    )
+    ground = surface_lum * t_surface + sky
+
+    # sun disk (sampleSunDisk, camera.comp:123-140; transmittance = t_shared)
+    to_sun = -atmo.incident_direction_sun
+    cos_dir_sun = jnp.sum(direction * to_sun, axis=-1) / (
+        _norm3(direction)[..., 0] * jnp.linalg.norm(to_sun)
+    )
+    sin_sun_radius = atmo.sun_angular_radius
+    sin_dir_sun = safe_sqrt(1.0 - cos_dir_sun * cos_dir_sun)
+    edge0 = 0.2 * sin_sun_radius
+    edge1 = sin_sun_radius
+    t = jnp.clip(
+        (sin_dir_sun - edge0) / jnp.maximum(edge1 - edge0, 1e-12), 0.0, 1.0
+    )
+    smooth = t * t * (3.0 - 2.0 * t)
+    disk = t_shared * (1.0 - smooth)[..., None]
+    disk = jnp.where((cos_dir_sun < 0.0)[..., None], 0.0, disk)
+
+    return jnp.where(hit[..., None], ground, sky), jnp.where(
+        hit[..., None], 0.0, disk
+    )
+
+
 def geometry_luminance_transfer(
     atmo, transmittance_lut, origin, direction, material_pos, material: PBRTexel,
-    shadow_factor, aerial=None, t_surface=None,
+    shadow_factor, aerial=None, t_surface=None, t_sun=None,
 ):
     """``computeGeometryLuminanceTransfer`` (``camera.comp:237-278``).
 
-    ``t_surface`` optionally injects a precomputed camera->surface path
-    transmittance (the aerial froxel volume stores it)."""
+    ``t_surface``/``t_sun`` optionally inject precomputed camera->surface
+    path transmittance and surface->sun transmittance (the aerial froxel
+    volume stores both)."""
     surface = material_pos
     if t_surface is None:
         t_surface = sample_transmittance_segment(
@@ -220,9 +309,11 @@ def geometry_luminance_transfer(
     diffuse = diffuse_brdf(material)
     specular = specular_brdf(material, light_dir, view_dir)
     fresnel = compute_fresnel(material, light_dir, view_dir)
-    t_sun = sample_transmittance_ray(
-        transmittance_lut, atmo, surface, jnp.broadcast_to(light_dir, surface.shape)
-    )
+    if t_sun is None:
+        t_sun = sample_transmittance_ray(
+            transmittance_lut, atmo, surface,
+            jnp.broadcast_to(light_dir, surface.shape),
+        )
     frac_visible = fraction_of_sun_visible(atmo, _norm3(material_pos)[..., 0])
     nl = jnp.clip(_dot1(material.normal, light_dir), 0.0, 1.0)
     surface_transfer = (
@@ -293,29 +384,39 @@ def build_aerial_lut(
 
     origin = jnp.broadcast_to(origin_mm, direction.shape)
     fracs = ((jnp.arange(n_slices, dtype=jnp.float32) + 1.0) / n_slices) ** 2
+    light_dir = _normalize(-atmo.incident_direction_sun)
 
     def one_slice(frac):
         dist = jnp.full((n_y, n_x), frac * t_max_mm, jnp.float32)
         lum = luminance_scattering_integral(
             atmo, transmittance_lut, origin, direction, dist
         )
+        slice_pos = origin + dist[..., None] * direction
         # path transmittance camera -> slice, the same LUT-segment form the
         # per-pixel pass uses (camera.comp:303-...; sampled per froxel here)
         t_seg = sample_transmittance_segment(
+            transmittance_lut, atmo, origin, slice_pos
+        )
+        # sun transmittance AT the slice point (geometry pixels otherwise
+        # each pay a per-pixel LUT gather for it, camera.comp:237-278)
+        t_sun = sample_transmittance_ray(
             transmittance_lut,
             atmo,
-            origin,
-            origin + dist[..., None] * direction,
+            slice_pos,
+            jnp.broadcast_to(light_dir, slice_pos.shape),
         )
-        return jnp.concatenate([lum, t_seg], axis=-1)  # (n_y, n_x, 6)
+        return jnp.concatenate([lum, t_seg, t_sun], axis=-1)  # (n_y, n_x, 9)
 
-    sliced = jax.lax.map(one_slice, fracs)  # (n_slices, n_y, n_x, 6)
-    aerial = jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 6)
+    sliced = jax.lax.map(one_slice, fracs)  # (n_slices, n_y, n_x, 9)
+    aerial = jnp.moveaxis(sliced, 0, 2)  # (n_y, n_x, n_slices, 9)
+    t_sun0 = sample_transmittance_ray(
+        transmittance_lut, atmo, origin_mm, light_dir
+    )  # (3,): the implicit distance-0 slice's sun transmittance
 
     # Quad-pack the trilinear footprint: entry (y, x, s) holds all 8 corner
-    # records (in-scatter rgb + path-T rgb = 48 contiguous f32), so a
-    # sample is ONE gather (the same trick as atmosphere.PackedLUT; the
-    # volume is only ~3 MB packed).
+    # records (in-scatter rgb + path-T rgb + sun-T rgb = 72 contiguous
+    # f32), so a sample is ONE gather (the same trick as
+    # atmosphere.PackedLUT; the volume is only ~4.7 MB packed).
     n_y, n_x, n_s = aerial.shape[0], aerial.shape[1], aerial.shape[2]
     xr = jnp.minimum(jnp.arange(n_x) + 1, n_x - 1)
     yd = jnp.minimum(jnp.arange(n_y) + 1, n_y - 1)
@@ -336,35 +437,41 @@ def build_aerial_lut(
             a11[:, :, sn],
         ],
         axis=-1,
-    )  # (n_y, n_x, n_s, 48): [s0: 00,01,10,11 | s1: 00,01,10,11], 6ch each
-    return AerialLUT(packed.reshape(n_y * n_x * n_s, 48), n_y, n_x, n_s)
+    )  # (n_y, n_x, n_s, 72): [s0: 00,01,10,11 | s1: 00,01,10,11], 9ch each
+    return AerialLUT(packed.reshape(n_y * n_x * n_s, 72), t_sun0, n_y, n_x, n_s)
 
 
 @jax.tree_util.register_pytree_node_class
 class AerialLUT:
     """Quad-packed froxel volume from :func:`build_aerial_lut`: per entry
-    8 trilinear corner records of (in-scatter rgb, path-transmittance rgb)."""
+    8 trilinear corner records of (in-scatter rgb, path-transmittance rgb,
+    sun-transmittance rgb); ``t_sun0`` = sun transmittance at the camera
+    (the implicit distance-0 slice's value)."""
 
-    def __init__(self, packed: jnp.ndarray, n_y: int, n_x: int, n_s: int):
-        self.packed = packed  # (n_y * n_x * n_s, 48) f32
+    def __init__(
+        self, packed: jnp.ndarray, t_sun0: jnp.ndarray,
+        n_y: int, n_x: int, n_s: int,
+    ):
+        self.packed = packed  # (n_y * n_x * n_s, 72) f32
+        self.t_sun0 = t_sun0  # (3,) f32
         self.n_y = n_y
         self.n_x = n_x
         self.n_s = n_s
 
     def tree_flatten(self):
-        return (self.packed,), (self.n_y, self.n_x, self.n_s)
+        return (self.packed, self.t_sun0), (self.n_y, self.n_x, self.n_s)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], children[1], *aux)
 
 
 def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
     """Trilinear sample of :func:`build_aerial_lut`'s volume at screen uv
-    ([0,1]^2) and ray distance (Mm) -> (in-scatter rgb, path-T rgb).
-    Clamp-to-edge in y/x/far; distances short of the first slice lerp
-    toward the implicit distance-0 slice (no in-scatter, T = 1). One
-    48-float gather per sample."""
+    ([0,1]^2) and ray distance (Mm) -> (in-scatter rgb, path-T rgb,
+    sun-T rgb). Clamp-to-edge in y/x/far; distances short of the first
+    slice lerp toward the implicit distance-0 slice (no in-scatter, path
+    T = 1, sun T = t_sun0). One 72-float gather per sample."""
     n_y, n_x, n_s = aerial.n_y, aerial.n_x, aerial.n_s
     x = jnp.clip(uv[..., 0] * n_x - 0.5, 0.0, n_x - 1.0)
     y = jnp.clip(uv[..., 1] * n_y - 0.5, 0.0, n_y - 1.0)
@@ -382,19 +489,25 @@ def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
     fy = (y - y0)[..., None]
     fs = (s - s0f)[..., None]
 
-    q = aerial.packed[(y0 * n_x + x0) * n_s + jnp.maximum(s0, 0)]  # (..., 48)
+    q = aerial.packed[(y0 * n_x + x0) * n_s + jnp.maximum(s0, 0)]  # (..., 72)
 
-    def bilin(block):  # block: (..., 24) corner records 00,01,10,11 (6ch)
-        top = block[..., 0:6] * (1 - fx) + block[..., 6:12] * fx
-        bot = block[..., 12:18] * (1 - fx) + block[..., 18:24] * fx
+    def bilin(block):  # block: (..., 36) corner records 00,01,10,11 (9ch)
+        top = block[..., 0:9] * (1 - fx) + block[..., 9:18] * fx
+        bot = block[..., 18:27] * (1 - fx) + block[..., 27:36] * fx
         return top * (1 - fy) + bot * fy
 
-    b0 = bilin(q[..., :24])
-    b1 = bilin(q[..., 24:])
+    b0 = bilin(q[..., :36])
+    b1 = bilin(q[..., 36:])
     # s0 == -1: the fetched entry's "slice 0" corners ARE slice 0; the
-    # implicit distance-0 slice has zero in-scatter and unit transmittance.
+    # implicit distance-0 slice has zero in-scatter, unit path
+    # transmittance, and the camera point's sun transmittance.
     zero_slice = jnp.concatenate(
-        [jnp.zeros_like(b0[..., :3]), jnp.ones_like(b0[..., 3:])], axis=-1
+        [
+            jnp.zeros_like(b0[..., 0:3]),
+            jnp.ones_like(b0[..., 3:6]),
+            jnp.broadcast_to(aerial.t_sun0, b0[..., 6:9].shape),
+        ],
+        axis=-1,
     )
     below = (s0 < 0)[..., None]
     out = jnp.where(
@@ -402,7 +515,7 @@ def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
         zero_slice * (1.0 - fs) + b0 * fs,
         b0 * (1.0 - fs) + b1 * fs,
     )
-    return out[..., 0:3], out[..., 3:6]
+    return out[..., 0:3], out[..., 3:6], out[..., 6:9]
 
 
 def sky_camera_pass(
@@ -480,9 +593,16 @@ def sky_camera_pass(
     # (identical to computing both and selecting: only the selected branch's
     # value survives the jnp.where below).
     is_env = (scene_depth == 0.0) | (material.position[..., 1] > 0.0)
-    hit, dist_planet = _hit_planet(atmo, pos_grid, direction)
     dist_surface = jnp.linalg.norm(sky_material.position - pos_grid, axis=-1)
-    shared_dist = jnp.where(is_env, dist_planet, dist_surface)
+
+    # Sun shadow (branch B input; computed first so the merged environment
+    # sampling below can weight the reflected sun disk).
+    sun_pv = sun_light.projection @ sun_light.view
+    coord, dx, dy = compute_shadow_frame(
+        sun_pv, material.position, material.normal
+    )
+    sun_shadow = sample_shadow_map(sun_shadow_map, coord, dx, dy)
+
     if aerial is not None:
         # geometry rays: froxel volume; environment ground rays: the skyview
         # LUT already stores the identical camera->planet-hit integral
@@ -493,15 +613,55 @@ def sky_camera_pass(
             ],
             axis=-1,
         )
-        geom_aerial, geom_t_surface = sample_aerial_lut(
+        geom_aerial, geom_t_surface, geom_t_sun = sample_aerial_lut(
             aerial, uv, dist_surface, aerial_t_max
         )
-        env_aerial = sample_skyview_ground(
-            atmo, skyview_lut, pos_grid, direction
+        # Branch-shared environment sampling: branch A samples the
+        # environment along the camera ray; branch B's metallic bounce
+        # (camera.comp:379-387) samples it along the reflected ray from the
+        # surface. The branches are mutually exclusive per pixel, so select
+        # the INPUT coordinates per branch and run ONE sample_environment —
+        # per-lane identical to the two-call form (elementwise math on
+        # selected inputs) while halving the pass's env gathers + BRDF work.
+        if metallic_reflection:
+            refl_dir = reflect_direction(sky_material.normal, -direction)
+            env_mask = is_env[..., None]
+            es_pos = jnp.where(env_mask, pos_grid, sky_material.position)
+            es_dir = jnp.where(env_mask, direction, refl_dir)
+        else:
+            es_pos, es_dir = pos_grid, direction
+        env, disk = sample_environment_shared(
+            atmo, transmittance_lut, skyview_lut, es_pos, es_dir
         )
-        shared_aerial = jnp.where(is_env[..., None], env_aerial, geom_aerial)
+        # Branch A: background / underground (camera.comp:354-361);
+        # shadowFactor = 1 on this branch
+        env_transfer = env + disk
+
+        # Branch B: geometry (camera.comp:362-387)
+        geo_transfer = geometry_luminance_transfer(
+            atmo,
+            transmittance_lut,
+            pos_grid,
+            direction,
+            sky_material.position,
+            sky_material,
+            sun_shadow,
+            aerial=geom_aerial,
+            t_surface=geom_t_surface,
+            t_sun=geom_t_sun,
+        )
+        if metallic_reflection:
+            refl = env + disk * sun_shadow[..., None]
+            geo_transfer = geo_transfer + (
+                geom_t_surface
+                * sky_material.metallic
+                * compute_fresnel(sky_material, -direction, refl_dir)
+                * refl
+            )
     else:
-        geom_t_surface = None
+        # Quirk-exact path: per-pixel 32-step integrals, unshared env calls.
+        hit, dist_planet = _hit_planet(atmo, pos_grid, direction)
+        shared_dist = jnp.where(is_env, dist_planet, dist_surface)
         integral = (
             luminance_scattering_integral_fast
             if fast
@@ -511,58 +671,42 @@ def sky_camera_pass(
             atmo, transmittance_lut, pos_grid, direction, shared_dist
         )
 
-    # Branch A: background / underground -> environment (camera.comp:354-361)
-    env, disk = sample_environment(
-        atmo, transmittance_lut, skyview_lut, pos_grid, direction,
-        hit_dist=(hit, dist_planet), aerial=shared_aerial,
-    )
-    env_transfer = env + disk  # shadowFactor = 1 on this branch
+        # Branch A: background / underground (camera.comp:354-361)
+        env, disk = sample_environment(
+            atmo, transmittance_lut, skyview_lut, pos_grid, direction,
+            hit_dist=(hit, dist_planet), aerial=shared_aerial,
+        )
+        env_transfer = env + disk  # shadowFactor = 1 on this branch
 
-    # Branch B: geometry (camera.comp:362-387)
-    sun_pv = sun_light.projection @ sun_light.view
-    coord, dx, dy = compute_shadow_frame(
-        sun_pv, material.position, material.normal
-    )
-    sun_shadow = sample_shadow_map(sun_shadow_map, coord, dx, dy)
-    geo_transfer = geometry_luminance_transfer(
-        atmo,
-        transmittance_lut,
-        pos_grid,
-        direction,
-        sky_material.position,
-        sky_material,
-        sun_shadow,
-        aerial=shared_aerial,
-        t_surface=geom_t_surface,
-    )
-    # ad-hoc single-bounce metallic reflection (camera.comp:379-387)
-    if metallic_reflection:
-        t_surface = (
-            geom_t_surface
-            if geom_t_surface is not None
-            else sample_transmittance_segment(
+        # Branch B: geometry (camera.comp:362-387)
+        geo_transfer = geometry_luminance_transfer(
+            atmo,
+            transmittance_lut,
+            pos_grid,
+            direction,
+            sky_material.position,
+            sky_material,
+            sun_shadow,
+            aerial=shared_aerial,
+            t_surface=None,
+        )
+        # ad-hoc single-bounce metallic reflection (camera.comp:379-387)
+        if metallic_reflection:
+            t_surface = sample_transmittance_segment(
                 transmittance_lut, atmo, pos_grid, sky_material.position
             )
-        )
-        refl_dir = reflect_direction(sky_material.normal, -direction)
-        refl_aerial = (
-            sample_skyview_ground(
-                atmo, skyview_lut, sky_material.position, refl_dir
+            refl_dir = reflect_direction(sky_material.normal, -direction)
+            refl_env, refl_disk = sample_environment(
+                atmo, transmittance_lut, skyview_lut, sky_material.position,
+                refl_dir, fast=fast or fast_reflection,
             )
-            if aerial is not None
-            else None
-        )
-        refl_env, refl_disk = sample_environment(
-            atmo, transmittance_lut, skyview_lut, sky_material.position,
-            refl_dir, fast=fast or fast_reflection, aerial=refl_aerial,
-        )
-        refl = refl_env + refl_disk * sun_shadow[..., None]
-        geo_transfer = geo_transfer + (
-            t_surface
-            * sky_material.metallic
-            * compute_fresnel(sky_material, -direction, refl_dir)
-            * refl
-        )
+            refl = refl_env + refl_disk * sun_shadow[..., None]
+            geo_transfer = geo_transfer + (
+                t_surface
+                * sky_material.metallic
+                * compute_fresnel(sky_material, -direction, refl_dir)
+                * refl
+            )
 
     # Branch select: background or underground -> environment
     # (GBuffer +y down: material.position.y > 0 means below ground)

@@ -81,6 +81,11 @@ def render_frames_sharded(
         mesh=mesh,
         in_specs=(P(), P("dp")),
         out_specs=P("dp", "sp", None, None),
+        # check_vma=True would catch spec errors at trace time, but it
+        # requires every pallas_call out ShapeDtypeStruct to carry a `vma`
+        # annotation (the raster kernel's don't; JAX raises). Spec coverage
+        # comes from dryrun_multichip's (dp, sp) matrix + the
+        # sharded-vs-single-chip equality tests instead.
         check_vma=False,
     )
     out = fn(geometry, params_batch)  # (B, h_pad, w_pad, 3)

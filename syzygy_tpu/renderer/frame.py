@@ -122,15 +122,38 @@ def _dispatch_raster(setup, width, height, config, depth_only=False):
     )
 
 
+_SKY_CHUNK_MAX_PX = 600_000  # platform compiler crashes above ~0.6 Mpx
+
+
 def _sky_chunks(h: int, w: int, override: int) -> int:
     """Row chunks for the sky camera pass: keep each chunk under ~0.6 Mpx
-    (the platform compiler's crash threshold, with margin)."""
+    (the platform compiler's crash threshold, with margin).
+
+    Refuses (raises) rather than silently running one oversized chunk —
+    that path hits the known tpu_compile_helper crash this chunking exists
+    to avoid. ``h`` is the padded framebuffer height (a TILE_H=64
+    multiple), so a dividing chunk count always exists in practice."""
     if override:
-        return override if h % override == 0 else 1
-    n = 1
-    while (h // n) * w > 600_000 and h % (n * 2) == 0 and n < 16:
-        n *= 2
-    return n
+        if h % override != 0:
+            raise ValueError(
+                f"sky_row_chunks={override} does not divide height {h}"
+            )
+        if (h // override) * w > _SKY_CHUNK_MAX_PX:
+            raise ValueError(
+                f"sky_row_chunks={override} leaves {(h // override) * w} px "
+                f"per chunk (> {_SKY_CHUNK_MAX_PX}: the platform compiler "
+                "crash threshold); raise sky_row_chunks or use 0 (auto)"
+            )
+        return override
+    if h * w <= _SKY_CHUNK_MAX_PX:
+        return 1
+    for n in range(2, h + 1):
+        if h % n == 0 and (h // n) * w <= _SKY_CHUNK_MAX_PX:
+            return n
+    raise ValueError(
+        f"no row-chunk count divides height {h} into <= "
+        f"{_SKY_CHUNK_MAX_PX}-px chunks; pad the framebuffer height"
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,6 +173,14 @@ class RenderConfig:
     # on overflow, shadowpass.cpp:219-225). Scenes with few lights can lower
     # this to skip the per-light triangle setup work.
     n_shadow_maps: int = 10
+    # shadow depth bias, Vulkan vkCmdSetDepthBias semantics (constant * r +
+    # slope * max|dz/dxy| added to occluder depth; r = 2^-23 for D32).
+    # Reference: ShadowPassParameters{depthBiasConstant=0, depthBiasSlope=0}
+    # (shadowpass.hpp:26-27), applied at pipelines.cpp:716 and UI-tunable
+    # (engineui.cpp:151-161). Note reverse-Z: push occluders AWAY from the
+    # light with NEGATIVE bias. Defaults 0 keep rasters bitwise unchanged.
+    shadow_bias_constant: float = 0.0
+    shadow_bias_slope: float = 0.0
     skyview_width: int = 2048  # skyview.cpp:175
     skyview_height: int = 1024
     render_atmosphere: bool = True
@@ -189,17 +220,31 @@ class RenderConfig:
     # built with the EXACT reference integral, environment ground rays and
     # the metallic bounce reuse the skyview LUT. Production Hillaire
     # technique; measured whole-frame deviation vs the per-pixel integral:
-    # RMSE ~1.5e-4, max ~7.5e-3 (flagship + default scenes) — well inside
-    # the 1e-3 parity budget, so ON by default. False = quirk-exact
-    # per-pixel 32-step integral.
+    # RMSE ~1.5e-4 against the 1e-3 RMSE parity budget (max deviation
+    # ~7.5e-3, inside the tests' 2e-2 max bound), flagship + default
+    # scenes — so ON by default. False = quirk-exact per-pixel 32-step
+    # integral.
     aerial_lut: bool = True
-    aerial_lut_far_m: float = 4000.0  # froxel volume depth (meters)
+    # Froxel volume far plane (meters). Geometry BEYOND this distance
+    # clamps to the last slice: its in-scatter and path transmittance stop
+    # growing, so scenes with visible surfaces much farther than this
+    # deviate past the parity budget — raise it (cost is unchanged; slice
+    # spacing is quadratic) or set aerial_lut=False for such scenes.
+    aerial_lut_far_m: float = 4000.0
     # metallic-reflection environment bounce (camera.comp:379-387). When a
     # scene provably contains no metallic material the bounce multiplies to
     # exactly zero, so skipping it is bitwise-identical and saves ~10
     # gathers/pixel — scene_uses_metallic(scene, library) gives callers the
     # static answer (app auto-sets this).
     metallic_reflection: bool = True
+    # Merge the lighting stage into the sky program (2 chained device
+    # programs per frame instead of 3). Identical math — only the program
+    # partitioning changes. Each dispatch through the remote tunnel costs
+    # real per-frame latency (bench r2: ~160 ms gap between stage sum and
+    # end-to-end), but bigger programs compile slower on this platform
+    # (landmine: the FULLY fused frame compiles >9 min) — measure before
+    # flipping the default.
+    fuse_lighting_sky: bool = False
     # fast integral for the metallic-reflection environment bounce only
     # (camera.comp:379-387). The bounce's aerial term is second-order
     # (scaled by metallic * fresnel * segment transmittance): measured
@@ -276,6 +321,8 @@ def _shadow_pass(
             tile_h=TILE_H,
             tile_w=TILE_W,
             corner_clip=corner_clip,
+            depth_bias_constant=config.shadow_bias_constant,
+            depth_bias_slope=config.shadow_bias_slope,
         )
         return _dispatch_raster(setup, dim, dim, config, depth_only=True).depth
 
@@ -495,17 +542,38 @@ def _stage_sky(
     return oetf_pure_gamma(color)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "row0"))
+def _stage_lighting_sky(
+    state: FrameState, vis_depth, gbuffer, shadow_maps, config, row0: int = 0
+):
+    """Lighting + sky fused into one device program (RenderConfig.
+    fuse_lighting_sky): same math, one fewer dispatch per frame."""
+    lit = _stage_lighting.__wrapped__(state, gbuffer, shadow_maps)
+    return _stage_sky.__wrapped__(
+        state, lit, vis_depth, gbuffer, shadow_maps, config, row0
+    )
+
+
+def _finish_frame(state, vis, gbuffer, shadow_maps, config):
+    if config.fuse_lighting_sky:
+        return _stage_lighting_sky(
+            state, vis.depth, gbuffer, shadow_maps, config
+        )
+    lit = _stage_lighting(state, gbuffer, shadow_maps)
+    return _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
+
+
 def render_frame(
     geometry: GeometryStatic, params: FrameParams, config: RenderConfig
 ) -> jnp.ndarray:
     """Scene state -> (height, width, 3) nonlinear-encoded image in [0, 1].
 
-    Three chained device programs; the host enqueues all three without
-    syncing (one logical queue submission, like editor.cpp:396-401).
+    Three (or two, with ``fuse_lighting_sky``) chained device programs; the
+    host enqueues them all without syncing (one logical queue submission,
+    like editor.cpp:396-401).
     """
     state, vis, gbuffer, shadow_maps = _stage_geometry(geometry, params, config)
-    lit = _stage_lighting(state, gbuffer, shadow_maps)
-    encoded = _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
+    encoded = _finish_frame(state, vis, gbuffer, shadow_maps, config)
     return encoded[: config.height, : config.width]
 
 
@@ -528,8 +596,7 @@ def render_frame_packed(
     state, vis, gbuffer, shadow_maps = _stage_geometry_packed(
         geometry, buffer, spec, config
     )
-    lit = _stage_lighting(state, gbuffer, shadow_maps)
-    encoded = _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
+    encoded = _finish_frame(state, vis, gbuffer, shadow_maps, config)
     return encoded[: config.height, : config.width]
 
 

@@ -61,7 +61,10 @@ class GeometryStatic(NamedTuple):
     tri_casts_shadow: jnp.ndarray  # (T,) bool
     materials: jnp.ndarray  # (M, 3) i32: color/normal/orm texture ids
     # native-resolution texture atlas (assets/types.py::TextureLibrary):
-    tex_atlas: jnp.ndarray  # (A_h, A_w, 4) f32, linear light
+    # (A_h, A_w, 16) f32 quad-packed by default — each texel carries its
+    # 2x2 bilinear footprint so a sample is ONE gather (4x the HBM of the
+    # plain layout; pack_geometry(quad_pack=False) keeps (A_h, A_w, 4))
+    tex_atlas: jnp.ndarray  # linear light
     tex_rects: jnp.ndarray  # (N, 4) i32 [x0, y0, w, h] per texture
     # optional mip pyramid (pack_geometry(mipmaps=True); beyond-parity —
     # the reference is single-mip): (N, L, 4) i32 per-level rects into the
@@ -166,6 +169,7 @@ def pack_geometry(
     texture_library,
     spatial_sort: bool = True,
     mipmaps: bool = False,
+    quad_pack: bool = True,
 ) -> GeometryStatic:
     """Flatten all renderable instances into one padded triangle soup.
 
@@ -177,6 +181,11 @@ def pack_geometry(
     ``mipmaps`` packs a per-texture mip pyramid into the atlas and enables
     trilinear minification in the resolve pass (beyond-parity quality; the
     reference is single-mip).
+
+    ``quad_pack`` stores each atlas texel's 2x2 bilinear footprint as 16
+    channels so a texture sample is ONE gather; disable for
+    memory-constrained atlases (4x HBM on the largest asset buffer) —
+    sampling falls back to 4 texel gathers, identical results.
     """
     positions, normals, uvs, colors, vert_instance = [], [], [], [], []
     triangles, tri_material, tri_shadow, tri_centroid = [], [], [], []
@@ -245,11 +254,13 @@ def pack_geometry(
     if mipmaps:
         atlas, rects_mips = texture_library.as_atlas_mips()
         rects = rects_mips[:, 0]
-        atlas = quad_pack_atlas(atlas, rects_mips)
+        if quad_pack:
+            atlas = quad_pack_atlas(atlas, rects_mips)
     else:
         atlas, rects = texture_library.as_atlas()
         rects_mips = None
-        atlas = quad_pack_atlas(atlas, rects)
+        if quad_pack:
+            atlas = quad_pack_atlas(atlas, rects)
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),

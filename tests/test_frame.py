@@ -215,3 +215,19 @@ def test_supersampling_shape_and_smoothing(frame_setup):
     g1 = np.abs(np.diff(img1.mean(-1), axis=1)).max()
     g2 = np.abs(np.diff(img2.mean(-1), axis=1)).max()
     assert g2 <= g1 + 1e-6
+
+
+def test_fused_lighting_sky_matches_staged(frame_setup):
+    """fuse_lighting_sky=True merges two device programs; math unchanged —
+    results differ only at XLA fusion/reassociation noise."""
+    import dataclasses
+
+    _, geometry, params, config = frame_setup
+    base = np.asarray(render_frame(geometry, params, config))
+    fused = np.asarray(
+        render_frame(
+            geometry, params,
+            dataclasses.replace(config, fuse_lighting_sky=True),
+        )
+    )
+    assert np.abs(fused - base).max() <= 2e-5

@@ -215,3 +215,259 @@ def test_repo_sphere_glb_loads_as_scene():
     # unit sphere: radius ~1 everywhere
     r = np.linalg.norm(mesh.positions, axis=1)
     np.testing.assert_allclose(r, 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# adversarial GLBs: normalized / sparse / interleaved accessors
+# (fastgltf handles all of these transparently — assets.cpp:887-1091; the
+# loader must match its semantics, not just round-trip self-authored files)
+# ---------------------------------------------------------------------------
+
+
+def _wrap_glb(tmp_path, gltf, binary, name="adv.glb"):
+    json_bytes = json.dumps(gltf).encode()
+    json_bytes += b" " * ((-len(json_bytes)) % 4)
+    binary += b"\x00" * ((-len(binary)) % 4)
+    total = 12 + 8 + len(json_bytes) + 8 + len(binary)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, total)
+        + struct.pack("<II", len(json_bytes), 0x4E4F534A)
+        + json_bytes
+        + struct.pack("<II", len(binary), 0x004E4942)
+        + binary
+    )
+    path = tmp_path / name
+    path.write_bytes(glb)
+    return str(path)
+
+
+class _GLBBuilder:
+    """Minimal hand-rolled GLB: raw control over views/accessors."""
+
+    def __init__(self):
+        self.parts = []
+        self.views = []
+        self.accessors = []
+
+    def view(self, raw, stride=None):
+        offset = sum(len(p) for p in self.parts)
+        self.parts.append(raw + b"\x00" * ((-len(raw)) % 4))
+        v = {"buffer": 0, "byteOffset": offset, "byteLength": len(raw)}
+        if stride is not None:
+            v["byteStride"] = stride
+        self.views.append(v)
+        return len(self.views) - 1
+
+    def accessor(self, **kw):
+        self.accessors.append(kw)
+        return len(self.accessors) - 1
+
+    def gltf(self, primitives):
+        return {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [{"name": "adv", "primitives": primitives}],
+            "buffers": [{"byteLength": sum(len(p) for p in self.parts)}],
+            "bufferViews": self.views,
+            "accessors": self.accessors,
+        }
+
+    def binary(self):
+        return b"".join(self.parts)
+
+
+def _tri_prim(b, extra_attrs):
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    pos_acc = b.accessor(
+        bufferView=b.view(pos.tobytes()),
+        componentType=5126,
+        count=3,
+        type="VEC3",
+    )
+    idx_acc = b.accessor(
+        bufferView=b.view(idx.tobytes()),
+        componentType=5123,
+        count=3,
+        type="SCALAR",
+    )
+    attrs = {"POSITION": pos_acc}
+    attrs.update(extra_attrs)
+    return {"attributes": attrs, "indices": idx_acc}
+
+
+def test_normalized_u8_uv(tmp_path):
+    """normalized u8 TEXCOORD_0: raw 0/128/255 -> 0.0 / 128/255 / 1.0."""
+    b = _GLBBuilder()
+    uv_raw = np.array([[0, 255], [128, 0], [255, 128]], np.uint8)
+    uv_acc = b.accessor(
+        bufferView=b.view(uv_raw.tobytes()),
+        componentType=5121,
+        count=3,
+        type="VEC2",
+        normalized=True,
+    )
+    prim = _tri_prim(b, {"TEXCOORD_0": uv_acc})
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    np.testing.assert_allclose(
+        meshes[0].uvs, uv_raw.astype(np.float32) / 255.0, atol=1e-7
+    )
+
+
+def test_normalized_u16_color(tmp_path):
+    """normalized u16 COLOR_0 (VEC3): v/65535, alpha filled with 1."""
+    b = _GLBBuilder()
+    col_raw = np.array(
+        [[0, 65535, 32768], [65535, 0, 0], [1000, 2000, 3000]], np.uint16
+    )
+    col_acc = b.accessor(
+        bufferView=b.view(col_raw.tobytes()),
+        componentType=5123,
+        count=3,
+        type="VEC3",
+        normalized=True,
+    )
+    prim = _tri_prim(b, {"COLOR_0": col_acc})
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    np.testing.assert_allclose(
+        meshes[0].colors[:, :3], col_raw.astype(np.float32) / 65535.0, atol=1e-7
+    )
+    np.testing.assert_allclose(meshes[0].colors[:, 3], 1.0)
+
+
+def test_normalized_i8_normal(tmp_path):
+    """normalized i8 NORMAL: v/127 with -128 clamped to -1 (spec)."""
+    b = _GLBBuilder()
+    nrm_raw = np.array(
+        [[127, 0, 0], [0, -127, 0], [0, 0, -128]], np.int8
+    )
+    nrm_acc = b.accessor(
+        bufferView=b.view(nrm_raw.tobytes()),
+        componentType=5120,
+        count=3,
+        type="VEC3",
+        normalized=True,
+    )
+    prim = _tri_prim(b, {"NORMAL": nrm_acc})
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    # loader applies the engine Y-flip after conversion
+    expect = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    expect[:, 1] *= -1
+    np.testing.assert_allclose(meshes[0].normals, expect, atol=1e-6)
+
+
+def test_sparse_position_accessor(tmp_path):
+    """sparse accessor: base bufferView with index/value substitution."""
+    b = _GLBBuilder()
+    base = np.zeros((4, 3), np.float32)
+    s_idx = np.array([1, 3], np.uint16)
+    s_val = np.array([[1, 2, 3], [4, 5, 6]], np.float32)
+    pos_acc = b.accessor(
+        bufferView=b.view(base.tobytes()),
+        componentType=5126,
+        count=4,
+        type="VEC3",
+        sparse={
+            "count": 2,
+            "indices": {"bufferView": b.view(s_idx.tobytes()), "componentType": 5123},
+            "values": {"bufferView": b.view(s_val.tobytes())},
+        },
+    )
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    idx_acc = b.accessor(
+        bufferView=b.view(idx.tobytes()), componentType=5123, count=6, type="SCALAR"
+    )
+    prim = {"attributes": {"POSITION": pos_acc}, "indices": idx_acc}
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    expect = base.copy()
+    expect[s_idx] = s_val
+    expect[:, 1] *= -1  # engine Y-flip
+    np.testing.assert_allclose(meshes[0].positions, expect)
+
+
+def test_sparse_without_base_bufferview(tmp_path):
+    """sparse accessor with no bufferView: zeros base (spec)."""
+    b = _GLBBuilder()
+    s_idx = np.array([2], np.uint8)
+    s_val = np.array([[7, 8, 9]], np.float32)
+    pos_acc = b.accessor(
+        componentType=5126,
+        count=3,
+        type="VEC3",
+        sparse={
+            "count": 1,
+            "indices": {"bufferView": b.view(s_idx.tobytes()), "componentType": 5121},
+            "values": {"bufferView": b.view(s_val.tobytes())},
+        },
+    )
+    idx = np.array([0, 1, 2], np.uint16)
+    idx_acc = b.accessor(
+        bufferView=b.view(idx.tobytes()), componentType=5123, count=3, type="SCALAR"
+    )
+    prim = {"attributes": {"POSITION": pos_acc}, "indices": idx_acc}
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    expect = np.zeros((3, 3), np.float32)
+    expect[2] = [7, -8, 9]  # engine Y-flip
+    np.testing.assert_allclose(meshes[0].positions, expect)
+
+
+def test_interleaved_normalized_attributes(tmp_path):
+    """One interleaved view: f32 position + normalized u8 uv, byteStride 16."""
+    b = _GLBBuilder()
+    n = 3
+    raw = bytearray()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    uv8 = np.array([[0, 51], [102, 153], [204, 255]], np.uint8)
+    for i in range(n):
+        raw += pos[i].tobytes()  # 12 bytes
+        raw += uv8[i].tobytes()  # 2 bytes
+        raw += b"\x00\x00"  # pad to 16
+    view = b.view(bytes(raw), stride=16)
+    pos_acc = b.accessor(
+        bufferView=view, byteOffset=0, componentType=5126, count=n, type="VEC3"
+    )
+    uv_acc = b.accessor(
+        bufferView=view,
+        byteOffset=12,
+        componentType=5121,
+        count=n,
+        type="VEC2",
+        normalized=True,
+    )
+    idx = np.array([0, 1, 2], np.uint16)
+    idx_acc = b.accessor(
+        bufferView=b.view(idx.tobytes()), componentType=5123, count=3, type="SCALAR"
+    )
+    prim = {
+        "attributes": {"POSITION": pos_acc, "TEXCOORD_0": uv_acc},
+        "indices": idx_acc,
+    }
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    expect_pos = pos.copy()
+    expect_pos[:, 1] *= -1
+    np.testing.assert_allclose(meshes[0].positions, expect_pos)
+    np.testing.assert_allclose(
+        meshes[0].uvs, uv8.astype(np.float32) / 255.0, atol=1e-7
+    )
+
+
+def test_non_indexed_primitive_rejected(tmp_path):
+    """A primitive without indices is skipped (the reference requires
+    indexed geometry, assets.cpp:905-917)."""
+    b = _GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    pos_acc = b.accessor(
+        bufferView=b.view(pos.tobytes()), componentType=5126, count=3, type="VEC3"
+    )
+    prim = {"attributes": {"POSITION": pos_acc}}  # no "indices"
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    meshes, _ = load_gltf_meshes(path)
+    assert meshes == []

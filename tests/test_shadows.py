@@ -110,3 +110,57 @@ def test_five_spotlights_all_cast_shadows():
     for j in range(5):  # every spot map rastered the caster cube
         assert maps[2 + j].max() > 0.0, f"spot {j} got no shadow raster"
     assert maps[2 + 5].max() == 0.0  # unused slots stay empty
+
+
+def test_depth_bias_shifts_occluder_depth():
+    """vkCmdSetDepthBias parity (pipelines.cpp:716, shadowpass.hpp:26-27):
+    constant bias shifts every raster depth by constant * 2^-23; slope bias
+    shifts by slope * max|dz/dxy| of the triangle; 0 bias is bitwise
+    unchanged."""
+    import jax.numpy as jnp
+
+    from syzygy_tpu.kernels.raster import rasterize, setup_triangles
+
+    # a tilted triangle so dz/dx is nonzero (slope term has something to do)
+    clip = jnp.asarray(
+        [
+            [-0.8, -0.8, 0.30, 1.0],
+            [0.8, -0.8, 0.80, 1.0],
+            [0.0, 0.8, 0.55, 1.0],
+        ],
+        jnp.float32,
+    )
+    tris = jnp.asarray([[0, 1, 2]], jnp.int32)
+    valid = jnp.ones(1, bool)
+
+    def raster(constant, slope):
+        setup = setup_triangles(
+            clip, tris, valid, 128, 64, 0,
+            depth_bias_constant=constant, depth_bias_slope=slope,
+        )
+        return np.asarray(rasterize(setup, 128, 64, depth_only=True).depth)
+
+    base = raster(0.0, 0.0)
+    covered = base > 0.0
+    assert covered.any()
+
+    # constant bias: exactly constant * 2^-23 everywhere on the triangle
+    big = raster(1e4, 0.0)
+    np.testing.assert_allclose(
+        big[covered] - base[covered], 1e4 * 2.0**-23, rtol=1e-4
+    )
+
+    # slope bias: shifts by slope * max(|dz/dx|, |dz/dy|) (analytic here)
+    sloped = raster(0.0, 1.0)
+    # screen triangle: x spans 0.1*128..0.9*128, z spans 0.30..0.80 over it
+    dzdx = (0.80 - 0.30) / (0.8 * 128)
+    shift = sloped[covered] - base[covered]
+    np.testing.assert_allclose(shift, shift[0], atol=1e-7)  # uniform
+    np.testing.assert_allclose(shift[0], dzdx, rtol=0.2)
+
+    # negative bias moves occluders away from the light (reverse-Z)
+    neg = raster(-1e4, 0.0)
+    assert (neg[covered] < base[covered]).all()
+
+    # default-0 bias leaves the raster bitwise identical
+    np.testing.assert_array_equal(raster(0.0, 0.0), base)

@@ -192,3 +192,34 @@ def test_aerial_lut_mode_close():
     d = np.abs(a - b)
     assert float(np.sqrt((d**2).mean())) < 5e-4, d.max()
     assert d.max() < 2e-2, d.max()
+
+
+def test_sample_environment_shared_bitwise(sky_inputs):
+    """sample_environment_shared == sample_environment(+skyview_ground
+    aerial) per lane, bitwise: the branch-shared gathers only select input
+    coordinates, never change the math."""
+    from syzygy_tpu.kernels.sky import (
+        sample_environment,
+        sample_environment_shared,
+        sample_skyview_ground,
+    )
+
+    atmo, t_lut, sky_lut, cam, sun, smap = sky_inputs
+    rng = np.random.default_rng(11)
+    # positions near the surface, directions spanning sky and ground hits
+    pos = jnp.asarray(
+        np.array([0.0, 6.36, 0.0], np.float32)
+        + rng.uniform(-1e-4, 1e-4, (33, 17, 3)).astype(np.float32)
+        + np.array([0.0, 1e-4, 0.0], np.float32)
+    )
+    d = rng.normal(size=(33, 17, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+
+    aerial = sample_skyview_ground(atmo, sky_lut, pos, d)
+    env_ref, disk_ref = sample_environment(
+        atmo, t_lut, sky_lut, pos, d, aerial=aerial
+    )
+    env, disk = sample_environment_shared(atmo, t_lut, sky_lut, pos, d)
+    np.testing.assert_array_equal(np.asarray(env), np.asarray(env_ref))
+    np.testing.assert_array_equal(np.asarray(disk), np.asarray(disk_ref))
