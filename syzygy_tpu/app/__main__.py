@@ -50,7 +50,7 @@ def main() -> None:
         "--scene",
         type=str,
         default="default",
-        choices=["default", "sphere", "chessboard"]
+        choices=["default", "sphere", "chessboard", "flagship"]
     )
     parser.add_argument("--gltf", type=str, default=None, help="path to .glb/.gltf")
     parser.add_argument("--load-scene", type=str, default=None)
@@ -60,6 +60,17 @@ def main() -> None:
     parser.add_argument("--dump-gbuffer", action="store_true",
                         help="also write G-buffer planes, depth, shadow map "
                              "and atmosphere LUTs as PNGs (TextureDisplay)")
+    parser.add_argument("--dump-texture", action="append", default=[],
+                        help="write a registered texture asset to PNG by "
+                             "name ('all' dumps every one) — the arbitrary-"
+                             "asset half of TextureDisplay "
+                             "(ui/texturedisplay.cpp:21-80); repeatable")
+    parser.add_argument("--list-textures", action="store_true",
+                        help="print every registered texture asset and exit")
+    parser.add_argument("--fps-target", type=float, default=0.0,
+                        help="pace the loop to this FPS by busy-skipping "
+                             "frame starts (editor.cpp:605-608); 0 = "
+                             "render flat-out")
     parser.add_argument("--shadow-dim", type=int, default=1024)
     parser.add_argument("--skyview-scale", type=int, default=1,
                         help="divide skyview LUT resolution by this factor")
@@ -132,6 +143,31 @@ def main() -> None:
     )
 
     scene, library = _build_scene(args)
+    if args.list_textures:
+        for name in library.names():
+            idx = library.lookup(name)
+            h, w = library.get(idx).shape[:2]
+            print(f"{idx:3d}  {w}x{h}  {name}")
+        return
+    if args.dump_texture:
+        # arbitrary-asset viewer (TextureDisplay, ui/texturedisplay.cpp):
+        # any registered texture, written at native resolution
+        wanted = (
+            library.names()
+            if "all" in args.dump_texture
+            else args.dump_texture
+        )
+        for name in wanted:
+            idx = library.lookup(name)
+            if idx is None:
+                log.error("no texture named %r (see --list-textures)", name)
+                continue
+            safe = name.replace("/", "_")
+            write_png(
+                os.path.join(args.out, f"texture_{safe}.png"),
+                library.get(idx)[..., :3],
+            )
+            log.info("dumped texture %s", name)
     if args.time_of_day is not None:
         scene.sun_animation.time = args.time_of_day
         scene.sun_animation.frozen = True
@@ -216,7 +252,16 @@ def main() -> None:
         }
 
     t_total = time.perf_counter()
+    next_frame_t = time.perf_counter()
     for frame_idx in range(args.frames):
+        if args.fps_target > 0.0:
+            # frame pacing: busy-skip against 1/fpsTarget like the
+            # reference's editor loop (editor.cpp:605-608)
+            while time.perf_counter() < next_frame_t:
+                time.sleep(0.0005)
+            next_frame_t = max(
+                next_frame_t + 1.0 / args.fps_target, time.perf_counter() - 1.0
+            )
         t0 = time.perf_counter()
         if args.watch and frame_idx > 0:
             # block until the watched file changes, then hot-reload every
@@ -404,6 +449,11 @@ def _build_scene(args):
         from syzygy_tpu.assets.showcase import chessboard_scene
 
         return chessboard_scene()
+    if args.scene == "flagship":
+        # the lathed-chess flagship (ABeautifulGame stand-in, assets/chess.py)
+        from syzygy_tpu.assets.chess import flagship_scene
+
+        return flagship_scene()
     if args.scene == "sphere":
         library = TextureLibrary()
         material = register_default_textures(library)

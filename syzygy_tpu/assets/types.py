@@ -125,6 +125,14 @@ class TextureLibrary:
     def lookup(self, name: str) -> Optional[int]:
         return self._names.get(name)
 
+    def names(self) -> list[str]:
+        """Registered asset names, index-ordered (TextureDisplay's asset
+        dropdown, ``ui/texturedisplay.cpp:21-80``)."""
+        ordered = [""] * len(self._textures)
+        for name, idx in self._names.items():
+            ordered[idx] = name
+        return ordered
+
     def get(self, idx: int) -> np.ndarray:
         """The registered texture at native resolution, (H, W, 4) f32."""
         return self._textures[idx]
