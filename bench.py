@@ -166,7 +166,13 @@ def main() -> None:
 
     from syzygy_tpu.renderer import RenderConfig
 
-    config = RenderConfig(width=1920, height=1080, n_shadow_maps=4)
+    # fuse_lighting_sky: 2 chained programs/frame — measured 5-15 ms/frame
+    # faster than the 3-program split at every queue depth, compile ~31 s
+    # (tools/dispatch_probe.py r3 session; the FULLY fused frame is still
+    # pathological to compile, landmine 9)
+    config = RenderConfig(
+        width=1920, height=1080, n_shadow_maps=4, fuse_lighting_sky=True
+    )
 
     ms_per_frame = None
     error = None

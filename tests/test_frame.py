@@ -231,3 +231,20 @@ def test_fused_lighting_sky_matches_staged(frame_setup):
         )
     )
     assert np.abs(fused - base).max() <= 2e-5
+
+
+def test_sky_chunks_refuses_oversized_configs():
+    """_sky_chunks must never silently run a chunk above the platform
+    compiler's ~0.6 Mpx crash threshold (landmine 10)."""
+    from syzygy_tpu.renderer.frame import _sky_chunks
+
+    assert _sky_chunks(128, 256, 0) == 1  # small: single chunk
+    # 1088x1920 padded frame: auto must pick a dividing count <= 0.6 Mpx
+    n = _sky_chunks(1088, 1920, 0)
+    assert 1088 % n == 0 and (1088 // n) * 1920 <= 600_000
+    # explicit override that does not divide -> refuse
+    with pytest.raises(ValueError):
+        _sky_chunks(1088, 1920, 3)
+    # explicit override that leaves oversized chunks -> refuse
+    with pytest.raises(ValueError):
+        _sky_chunks(1088, 1920, 2)
