@@ -121,6 +121,9 @@ def compute_shadow_frame(light_proj_view, position, normal):
 _PCF_PAD = 8  # border texels (clamp-to-border 0) + window alignment slack
 
 
+_PCF_WINDOW_MAX_DIM = 2048  # windowed-segment table is O(dim^2 * 16)
+
+
 def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
     clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
@@ -134,8 +137,15 @@ def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     instead of 25 single texels — gathers are the TPU bottleneck
     (tools/gather_bench.py g5) — and selects tap channels with one-hot
     dots. Values, masks and compares are bitwise-identical to the
-    per-texel formulation (tests/test_lighting.py)."""
+    per-texel formulation (tests/test_lighting.py).
+
+    Maps above 2048^2 use the direct per-texel form instead: the segment
+    table costs 16 x dim^2 floats (2.2 GB per light at 4096^2 — measured
+    to crash the platform compiler and OOM at 8192^2), while 25 single
+    gathers need no side table. Identical results either way."""
     size = shadow_map.shape[-1]
+    if size > _PCF_WINDOW_MAX_DIM:
+        return _sample_shadow_map_naive(shadow_map, coord, dx, dy)
     frag_depth = coord[..., 2]
     du = 1.5 * dx / size
     dv = 1.5 * dy / size
@@ -173,6 +183,32 @@ def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
             inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
             c = jnp.clip(ix + pad - 8 * w, 0, 15)  # tap channel in segment
             occ_depth = jnp.where(inside, select16(row, c), 0.0)
+            occluded += jnp.where(
+                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
+            )
+    return 1.0 - occluded / 25.0
+
+
+def _sample_shadow_map_naive(shadow_map, coord, dx, dy) -> jnp.ndarray:
+    """Direct per-texel 5x5 PCF (``shadowmap.glinl:32-63`` 1:1): 25 single
+    gathers, no side table — the large-map path (see sample_shadow_map).
+    Bitwise-identical values/masks/compares to the windowed formulation."""
+    size = shadow_map.shape[-1]
+    frag_depth = coord[..., 2]
+    du = 1.5 * dx / size
+    dv = 1.5 * dy / size
+    u = coord[..., 0]
+    v = coord[..., 1]
+    occluded = jnp.zeros_like(frag_depth)
+    for oy in range(-2, 3):
+        iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, size - 1)
+        for ox in range(-2, 3):
+            ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
+            inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+            occ_depth = jnp.where(
+                inside, shadow_map[iyc, jnp.clip(ix, 0, size - 1)], 0.0
+            )
             occluded += jnp.where(
                 (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
             )

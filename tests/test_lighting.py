@@ -234,3 +234,34 @@ def test_pcf_windowed_matches_naive():
     a = np.asarray(naive(shadow, coord, dx, dy))
     b = np.asarray(sample_shadow_map(shadow, coord, dx, dy))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pcf_large_map_path_matches_windowed():
+    """The >2048 naive path returns identical values to the windowed path
+    (exercised directly; real 4096 maps are device-budget territory)."""
+    import jax.numpy as jnp
+
+    from syzygy_tpu.kernels.lighting import (
+        _sample_shadow_map_naive,
+        sample_shadow_map,
+    )
+
+    rng = np.random.default_rng(7)
+    size = 64
+    shadow = jnp.asarray(rng.uniform(0, 1, (size, size)).astype(np.float32))
+    coord = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.1, 1.1, (16, 16)),
+                rng.uniform(-0.1, 1.1, (16, 16)),
+                rng.uniform(0, 1, (16, 16)),
+                np.ones((16, 16)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    dx = jnp.asarray(rng.uniform(0, 1, (16, 16)).astype(np.float32))
+    dy = jnp.asarray(rng.uniform(0, 1, (16, 16)).astype(np.float32))
+    a = np.asarray(sample_shadow_map(shadow, coord, dx, dy))
+    b = np.asarray(_sample_shadow_map_naive(shadow, coord, dx, dy))
+    np.testing.assert_array_equal(a, b)
