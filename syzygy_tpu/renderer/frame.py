@@ -61,7 +61,9 @@ from syzygy_tpu.scene.pack import (
 N_DIRECTIONAL = 2  # sun + moon (renderer.cpp:311-328)
 
 
-def _dispatch_raster(setup, width, height, config, depth_only=False):
+def _dispatch_raster(
+    setup, width, height, config, depth_only=False, tile_h=None, tile_w=None
+):
     """Pick the compact-list raster when its prefetch table fits SMEM,
     else fall back to the iterate-all-chunks kernel.
 
@@ -69,9 +71,13 @@ def _dispatch_raster(setup, width, height, config, depth_only=False):
     ``tile_list_capacity``, the whole raster falls back (``lax.cond``) to the
     full-iteration kernel — the lossless analog of the reference's
     shadow-map-overflow warning (``shadowpass.cpp:219-225``).
+
+    ``tile_h``/``tile_w`` override the config tile dims and MUST match the
+    dims the setup's chunk mask was built with (``setup_triangles``).
     """
     cap = config.tile_list_capacity
-    tile_h, tile_w = config.raster_tile_h, config.raster_tile_w
+    tile_h = config.raster_tile_h if tile_h is None else tile_h
+    tile_w = config.raster_tile_w if tile_w is None else tile_w
     chunk = config.raster_chunk
     if cap:
         tiles = (height // tile_h) * (width // tile_w)
@@ -309,6 +315,15 @@ def _shadow_pass(
     # per raster (the gather is the setup's dominant cost on TPU).
     corners_world = world_h[geometry.triangles]  # (T, 3, 4)
 
+    # Tile dims for the shadow raster: config tiles normally, but cap the
+    # tile GRID for big maps — the platform's remote compiler crashes on the
+    # depth raster at dim 4096 with the default 64x128 tiles (a 64x32-tile
+    # grid; tpu_compile_helper exit 1, see docs/BENCHMARKS.md r3), while
+    # 256x256 tiles keep the grid at camera-raster scale.
+    tile_h, tile_w = config.raster_tile_h, config.raster_tile_w
+    if dim >= 2048:
+        tile_h = tile_w = 256
+
     def one_light(light_pv, is_active):
         corner_clip = jnp.einsum("tcj,ij->tci", corners_world, light_pv)
         setup = setup_triangles(
@@ -318,13 +333,17 @@ def _shadow_pass(
             dim,
             dim,
             cull_keep_sign=-1,  # front-face culling (pipelines.cpp:654-663)
-            tile_h=TILE_H,
-            tile_w=TILE_W,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            chunk=config.raster_chunk,
             corner_clip=corner_clip,
             depth_bias_constant=config.shadow_bias_constant,
             depth_bias_slope=config.shadow_bias_slope,
         )
-        return _dispatch_raster(setup, dim, dim, config, depth_only=True).depth
+        return _dispatch_raster(
+            setup, dim, dim, config, depth_only=True,
+            tile_h=tile_h, tile_w=tile_w,
+        ).depth
 
     # Sequential per-light rasters rather than vmap: each light's triangle
     # setup is O(T) temporary memory, and 18 concurrent copies OOM at ~250k

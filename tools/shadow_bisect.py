@@ -104,6 +104,49 @@ def main():
         return lit[0, 0, 0] * 1e-30
 
     attempt(f"B2 lighting-only dim={dim}", lambda: lighting_only(state, gb, fake))
+
+    # B3: ONE depth raster at dim, no light loop, no update_slice
+    from syzygy_tpu.kernels.raster import setup_triangles
+    from syzygy_tpu.renderer.frame import _dispatch_raster
+
+    @jax.jit
+    def one_raster(geo, params):
+        st = prepare_frame_state(params)
+        proj_view = st.camera.projection @ st.camera.view
+        _, world = transform_positions(
+            geo.positions, geo.vert_instance, st.models, proj_view
+        )
+        world_h = jnp.concatenate(
+            [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
+        )
+        corners = world_h[geo.triangles]
+        pv = st.directional_lights.projection[0] @ st.directional_lights.view[0]
+        corner_clip = jnp.einsum("tcj,ij->tci", corners, pv)
+        setup = setup_triangles(
+            None, geo.triangles, geo.tri_valid, dim, dim,
+            cull_keep_sign=-1, corner_clip=corner_clip,
+        )
+        vis = _dispatch_raster(setup, dim, dim, base, depth_only=True)
+        return vis.depth.sum() * 1e-30
+
+    attempt(f"B3 one-raster dim={dim}", lambda: one_raster(geo, params))
+
+    # B4: the light loop's dynamic_update_slice shape, no pallas raster
+    @jax.jit
+    def loop_only(params):
+        st = prepare_frame_state(params)
+
+        def body(i, maps):
+            dmap = jnp.full((dim, dim), 0.5, jnp.float32) * (i + 1)
+            return jax.lax.dynamic_update_slice(maps, dmap[None], (i, 0, 0))
+
+        maps = jax.lax.fori_loop(
+            0, jnp.int32(3), body,
+            jnp.zeros((base.n_shadow_maps, dim, dim), jnp.float32),
+        )
+        return maps.sum() * 1e-30
+
+    attempt(f"B4 loop+update_slice dim={dim}", lambda: loop_only(params))
     print("bisect complete", flush=True)
 
 
