@@ -175,7 +175,8 @@ class TextureLibrary:
             shelf_h = max(shelf_h, h)
         height = _round_up8(shelf_y + shelf_h)
 
-        atlas = np.zeros((height, width, 4), np.float32)
+        ch = self._textures[0].shape[2]
+        atlas = np.zeros((height, width, ch), np.float32)
         for i, tex in enumerate(self._textures):
             x0, y0, w, h = rects[i]
             atlas[y0 : y0 + h, x0 : x0 + w] = tex
@@ -245,6 +246,46 @@ def quad_pack_atlas(atlas: np.ndarray, rects: np.ndarray) -> np.ndarray:
     t01 = atlas[yn, np.arange(w)[None, :]]
     t11 = atlas[yn, xn]
     return np.concatenate([t00, t10, t01, t11], axis=-1)
+
+
+def joint_pack_atlas(
+    atlas16: np.ndarray,  # (A_h, A_w, 16) quad-packed atlas
+    rects: np.ndarray,  # (N, 4) i32 per-texture rects
+    materials: np.ndarray,  # (M, 3) i32 color/normal/orm texture ids
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-MATERIAL joint atlas: (J_h, J_w, 48), one rect per material.
+
+    When a material's color/normal/orm textures share (w, h), their three
+    bilinear samples hit the SAME within-rect texel — so the three
+    quad-packed gathers can be one 48-channel gather (gathers are
+    row-count-bound on this TPU, not width-bound: tools/gather_bench.py).
+    Returns None unless EVERY material qualifies (the frame path is a
+    static either/or; the reference's per-map descriptor sets have no such
+    constraint, but its sample count is free in hardware —
+    ``deferred/offscreen.frag:61-66`` samples 3 maps per fragment).
+
+    Texel values are copied from the quad-packed atlas, so the per-rect
+    REPEAT wrap baked by :func:`quad_pack_atlas` is preserved and sampling
+    the joint atlas is bitwise-identical to three separate samples.
+    """
+    rects = np.asarray(rects)
+    materials = np.asarray(materials).reshape(-1, 3)
+    dims = rects[materials][..., 2:4]  # (M, 3, 2)
+    if not (dims == dims[:, 0:1]).all():
+        return None
+    tiles = []
+    for c, n, o in materials:
+        parts = [
+            atlas16[
+                rects[t][1] : rects[t][1] + rects[t][3],
+                rects[t][0] : rects[t][0] + rects[t][2],
+            ]
+            for t in (c, n, o)
+        ]
+        tiles.append(np.concatenate(parts, axis=-1))  # (h, w, 48)
+    packer = TextureLibrary()
+    packer._textures = tiles
+    return packer.as_atlas()
 
 
 def _round_up8(n: int) -> int:

@@ -189,7 +189,42 @@ def _cotangent_frame_normal(
     )
 
 
-RECORD_WIDTH = 49
+RECORD_WIDTH = 49  # 41 when the geometry carries a joint material atlas
+
+
+def _sample_atlas_rect_joint(
+    r: jnp.ndarray,  # (..., 4) i32 [x0, y0, w, h] joint material rect
+    atlas: jnp.ndarray,  # (J_h, J_w, 48) joint quad-packed atlas
+    uv: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One 48-channel gather -> (color, normal, orm) bilinear samples.
+
+    The three 16-channel groups hold each map's quad-packed 2x2 footprint
+    at the SAME within-rect texel (materials qualify only when the maps
+    share dimensions), so the per-map interpolation below is elementwise
+    identical to three separate :func:`_sample_atlas_rect` calls —
+    bitwise-equal results with 1/3 the gathers."""
+    x0r, y0r = r[..., 0], r[..., 1]
+    w = r[..., 2]
+    h = r[..., 3]
+    p_x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    p_y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    fx0 = jnp.floor(p_x)
+    fy0 = jnp.floor(p_y)
+    fracx = (p_x - fx0)[..., None]
+    fracy = (p_y - fy0)[..., None]
+    ix0 = jnp.mod(fx0.astype(jnp.int32), w)
+    iy0 = jnp.mod(fy0.astype(jnp.int32), h)
+    q = atlas[y0r + iy0, x0r + ix0]  # (..., 48): the one gather
+
+    def lerp(g):
+        t00, t10 = q[..., g : g + 4], q[..., g + 4 : g + 8]
+        t01, t11 = q[..., g + 8 : g + 12], q[..., g + 12 : g + 16]
+        top = t00 * (1.0 - fracx) + t10 * fracx
+        bot = t01 * (1.0 - fracx) + t11 * fracx
+        return top * (1.0 - fracy) + bot * fracy
+
+    return lerp(0), lerp(16), lerp(32)
 
 
 def build_resolve_records(
@@ -214,7 +249,10 @@ def build_resolve_records(
 
     Layout: 0:3 corner w | 3:12 corner world pos | 12:21 corner normals |
     21:27 corner uvs | 27:30 dp1 | 30:33 dp2 | 33:35 duv1 | 35:37 duv2 |
-    37:49 color/normal/orm atlas rects (exact small ints in f32).
+    37:49 color/normal/orm atlas rects (exact small ints in f32) — or,
+    when the geometry carries a joint material atlas
+    (``tex_rects_joint``), 37:41 the material's single joint rect
+    (record width 41).
 
     The build itself needs NO per-slot gathers: ``setup.orig_tri`` is
     statically ``concat(arange(T), arange(T))`` + zero padding
@@ -243,9 +281,14 @@ def build_resolve_records(
     cp = jnp.einsum("tkj,tjc->tkc", w3, p)  # clipped corners' attributes
     cn = jnp.einsum("tkj,tjc->tkc", w3, n)
     cu = jnp.einsum("tkj,tjc->tkc", w3, u)
-    rects = tile2(
-        geometry.tex_rects[geometry.materials[geometry.tri_material]]
-    )  # (T2, 3, 4) i32
+    if geometry.tex_rects_joint is not None:
+        rect_cols = tile2(
+            geometry.tex_rects_joint[geometry.tri_material]
+        ).astype(jnp.float32)  # (T2, 4)
+    else:
+        rect_cols = tile2(
+            geometry.tex_rects[geometry.materials[geometry.tri_material]]
+        ).reshape(t2_pad, 12).astype(jnp.float32)  # (T2, 12)
     t2 = t2_pad
     return jnp.concatenate(
         [
@@ -257,7 +300,7 @@ def build_resolve_records(
             p[:, 2] - p[:, 0],
             u[:, 1] - u[:, 0],
             u[:, 2] - u[:, 0],
-            rects.reshape(t2, 12).astype(jnp.float32),
+            rect_cols,
         ],
         axis=-1,
     )
@@ -305,10 +348,21 @@ def resolve_gbuffer(
     )
     uv = interp(21, 2)
 
-    atlas = geometry.tex_atlas
-    color_tex = _sample_atlas_rect(rec[..., 37:41].astype(jnp.int32), atlas, uv)
-    normal_tex = _sample_atlas_rect(rec[..., 41:45].astype(jnp.int32), atlas, uv)
-    orm_tex = _sample_atlas_rect(rec[..., 45:49].astype(jnp.int32), atlas, uv)
+    if geometry.tex_atlas_joint is not None:
+        color_tex, normal_tex, orm_tex = _sample_atlas_rect_joint(
+            rec[..., 37:41].astype(jnp.int32), geometry.tex_atlas_joint, uv
+        )
+    else:
+        atlas = geometry.tex_atlas
+        color_tex = _sample_atlas_rect(
+            rec[..., 37:41].astype(jnp.int32), atlas, uv
+        )
+        normal_tex = _sample_atlas_rect(
+            rec[..., 41:45].astype(jnp.int32), atlas, uv
+        )
+        orm_tex = _sample_atlas_rect(
+            rec[..., 45:49].astype(jnp.int32), atlas, uv
+        )
 
     # Normal map decode (offscreen.frag:50-55): unsigned -> signed, green-up
     nmap = normal_tex[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)

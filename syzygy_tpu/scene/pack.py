@@ -70,6 +70,13 @@ class GeometryStatic(NamedTuple):
     # the reference is single-mip): (N, L, 4) i32 per-level rects into the
     # same atlas, or None for single-mip sampling
     tex_rects_mips: jnp.ndarray | None = None
+    # optional per-MATERIAL joint atlas (assets.types.joint_pack_atlas):
+    # (J_h, J_w, 48) f32 — color/normal/orm quad-packed texels stacked
+    # channel-wise so the resolve samples all three maps with ONE gather.
+    # Present only when every material's three textures share dimensions
+    # (and quad_pack, single-mip); bitwise-identical sampling either way.
+    tex_atlas_joint: jnp.ndarray | None = None
+    tex_rects_joint: jnp.ndarray | None = None  # (M, 4) i32 per material
 
 
 class FrameParams(NamedTuple):
@@ -170,6 +177,7 @@ def pack_geometry(
     spatial_sort: bool = True,
     mipmaps: bool = False,
     quad_pack: bool = True,
+    joint_pack: bool = True,
 ) -> GeometryStatic:
     """Flatten all renderable instances into one padded triangle soup.
 
@@ -186,6 +194,11 @@ def pack_geometry(
     channels so a texture sample is ONE gather; disable for
     memory-constrained atlases (4x HBM on the largest asset buffer) —
     sampling falls back to 4 texel gathers, identical results.
+
+    ``joint_pack`` additionally builds a per-material 48-channel joint
+    atlas when EVERY material's color/normal/orm textures share
+    dimensions (single-mip + quad_pack only), so the resolve samples all
+    three maps with one gather instead of three — bitwise-identical.
     """
     positions, normals, uvs, colors, vert_instance = [], [], [], [], []
     triangles, tri_material, tri_shadow, tri_centroid = [], [], [], []
@@ -249,8 +262,10 @@ def pack_geometry(
     tri_valid = np.zeros(t_cap, bool)
     tri_valid[:n_tris] = True
 
-    from syzygy_tpu.assets.types import quad_pack_atlas
+    from syzygy_tpu.assets.types import joint_pack_atlas, quad_pack_atlas
 
+    materials_arr = np.asarray(materials, np.int32).reshape(-1, 3)
+    joint = None
     if mipmaps:
         atlas, rects_mips = texture_library.as_atlas_mips()
         rects = rects_mips[:, 0]
@@ -261,6 +276,8 @@ def pack_geometry(
         rects_mips = None
         if quad_pack:
             atlas = quad_pack_atlas(atlas, rects)
+            if joint_pack:
+                joint = joint_pack_atlas(atlas, rects, materials_arr)
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),
@@ -274,12 +291,14 @@ def pack_geometry(
         tri_casts_shadow=jnp.asarray(
             _pad_rows(tri_shadow.astype(bool), t_cap, False)
         ),
-        materials=jnp.asarray(np.asarray(materials, np.int32).reshape(-1, 3)),
+        materials=jnp.asarray(materials_arr),
         tex_atlas=jnp.asarray(atlas),
         tex_rects=jnp.asarray(rects),
         tex_rects_mips=(
             jnp.asarray(rects_mips) if rects_mips is not None else None
         ),
+        tex_atlas_joint=jnp.asarray(joint[0]) if joint is not None else None,
+        tex_rects_joint=jnp.asarray(joint[1]) if joint is not None else None,
     )
 
 

@@ -248,3 +248,38 @@ def test_sky_chunks_refuses_oversized_configs():
     # explicit override that leaves oversized chunks -> refuse
     with pytest.raises(ValueError):
         _sky_chunks(1088, 1920, 2)
+
+
+def test_joint_material_atlas_bitwise(frame_setup):
+    """Joint 48ch material atlas (one gather for color+normal+orm) is
+    bitwise-identical to the 3-gather path on the default scene (every
+    material's three maps share dimensions, so it qualifies)."""
+    scene, geometry, params, config = frame_setup
+    assert geometry.tex_atlas_joint is not None, (
+        "default scene should qualify for joint material packing"
+    )
+    assert geometry.tex_atlas_joint.shape[-1] == 48
+    _, library = default_scene()
+    geo_sep = pack_geometry(scene, library, joint_pack=False)
+    assert geo_sep.tex_atlas_joint is None
+    a = np.asarray(render_frame(geometry, params, config))
+    b = np.asarray(render_frame(geo_sep, params, config))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_joint_material_atlas_disqualifies_mixed_dims():
+    """Materials whose maps differ in size must NOT joint-pack (the
+    flagship's 512/256/64 materials take the 3-gather path)."""
+    from syzygy_tpu.assets.types import TextureLibrary, joint_pack_atlas, quad_pack_atlas
+
+    lib = TextureLibrary()
+    lib.register("c", np.ones((64, 64, 4), np.float32))
+    lib.register("n", np.ones((32, 32, 4), np.float32))
+    lib.register("o", np.ones((64, 64, 4), np.float32))
+    atlas, rects = lib.as_atlas()
+    atlas16 = quad_pack_atlas(atlas, rects)
+    mats = np.array([[0, 1, 2]], np.int32)
+    assert joint_pack_atlas(atlas16, rects, mats) is None
+    mats_ok = np.array([[0, 2, 2]], np.int32)
+    joint = joint_pack_atlas(atlas16, rects, mats_ok)
+    assert joint is not None and joint[0].shape[-1] == 48
