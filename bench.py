@@ -17,12 +17,14 @@ measurements, docs/BENCHMARKS.md):
   frame slices its row on device.
 * Deep submission queues (50+ heavy frames in flight) wedge the remote
   worker (tools/tunnel_probe.py phase D hung; r1 saw crash loops), so
-  frames run in small GROUPS of 4: within a group, frame N+1's params are
+  frames run in small GROUPS of 8: within a group, frame N+1's params are
   data-dependent on frame N's pixels (a device-side fold — chaining
   scalar programs is free), and one 4-byte fetch forces the whole group.
-  This amortizes the per-wait tunnel round trip (~0.4 s) over 4 frames
-  while staying far below the queue depth that wedges the worker. The
-  result is an honest UPPER bound: no cross-group pipelining is counted.
+  This amortizes the per-wait tunnel round trip (~0.4 s) over the group
+  while staying far below the queue depth that wedges the worker
+  (tools/queue_depth_probe.py: depth 4/6/8 = 261.7/254.8/254.0 ms/frame
+  in one session, no wedge at 8; 50 is known pathological). The result
+  is an honest UPPER bound: no cross-group pipelining is counted.
 """
 
 import json
@@ -67,7 +69,7 @@ def _flagship_scene():
 
 
 def _measure_scene(
-    scene, library, config, frames: int = 12, group: int = 4
+    scene, library, config, frames: int = 16, group: int = 8
 ) -> float:
     """Median ms/frame over groups of ``group`` chained frames, each group
     forced by a 4-byte fetch (see module docstring). Animated params; one
@@ -234,7 +236,7 @@ def main() -> None:
                 np.asarray(eulers_from_forward(target - eye))
             )
             extra["dense_254k_tris_ms"] = round(
-                _measure_scene(dense, dlib, config, frames=6), 3
+                _measure_scene(dense, dlib, config, frames=8), 3
             )
     except Exception as e:
         extra["dense_error"] = f"{type(e).__name__}: {str(e)[:80]}"
@@ -252,7 +254,7 @@ def main() -> None:
                 np.asarray(eulers_from_forward(target - eye))
             )
             extra["chess_14k_tris_ms"] = round(
-                _measure_scene(chess, chess_lib, config, frames=6), 3
+                _measure_scene(chess, chess_lib, config, frames=8), 3
             )
     except Exception as e:
         extra["chess_error"] = f"{type(e).__name__}: {str(e)[:80]}"
