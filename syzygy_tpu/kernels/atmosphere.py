@@ -116,13 +116,14 @@ class PackedLUT:
 
 
 def pack_lut(lut: jnp.ndarray) -> PackedLUT:
-    """(H, W, 3) -> :class:`PackedLUT` (done once per frame on device)."""
+    """(H, W, C) -> :class:`PackedLUT` (done once per frame on device).
+    C is 3 for plain LUTs; 6 for the skyview+t_seg extended layout."""
     h, w = lut.shape[0], lut.shape[1]
     xr = jnp.minimum(jnp.arange(w) + 1, w - 1)
     yd = jnp.minimum(jnp.arange(h) + 1, h - 1)
     quad = jnp.concatenate(
         [lut, lut[:, xr], lut[yd], lut[yd][:, xr]], axis=-1
-    ).reshape(h * w, 12)
+    ).reshape(h * w, 4 * lut.shape[-1])
     return PackedLUT(quad, h, w)
 
 
@@ -140,9 +141,10 @@ def sample_lut_bilinear(lut, u, v) -> jnp.ndarray:
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     if isinstance(lut, PackedLUT):
-        q = lut.quad[y0 * w + x0]  # (..., 12): one gather
-        top = q[..., 0:3] * (1 - fx) + q[..., 3:6] * fx
-        bot = q[..., 6:9] * (1 - fx) + q[..., 9:12] * fx
+        q = lut.quad[y0 * w + x0]  # (..., 4C): one gather
+        c = q.shape[-1] // 4
+        top = q[..., 0 : c] * (1 - fx) + q[..., c : 2 * c] * fx
+        bot = q[..., 2 * c : 3 * c] * (1 - fx) + q[..., 3 * c :] * fx
         return top * (1 - fy) + bot * fy
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)

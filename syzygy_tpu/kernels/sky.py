@@ -199,6 +199,45 @@ def sample_environment(
     )
 
 
+def compute_skyview_tseg(atmo, transmittance_lut, position, height: int):
+    """Per-ROW camera->planet-surface segment transmittance for the skyview
+    LUT's elevation parameterization, (height, 3) f32.
+
+    ``sampleTransmittanceLUT_Segment`` (``common.glinl:114-136``) along a
+    ground-hitting camera ray depends only on the ray's elevation (the
+    atmosphere is spherically symmetric and the camera radius is fixed per
+    frame) — exactly the skyview LUT's v axis, whose horizon-centered sqrt
+    warp (``skyview_LUT.comp:51-89``) concentrates rows where t_seg varies
+    fastest. Stacking these rows as 3 extra skyview channels lets the env
+    branch's EXISTING skyview gather deliver t_seg, removing its two
+    per-pixel transmittance gathers (RenderConfig.skyview_tseg; the exact
+    per-pixel path remains the skyview_tseg=False mode). Rows above the
+    horizon (no planet hit) hold 1.0 and are never selected."""
+    r = jnp.sqrt(jnp.maximum(jnp.sum(position * position), 1e-20))
+    sin_horizon = jnp.clip(atmo.planet_radius_mm / r, -1.0, 1.0)
+    horizon_zenith = PI - jnp.arcsin(sin_horizon)
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    # invert the v parameterization (_skyview_uv): below-horizon half
+    frac_below = jnp.square((v - 0.5) * 2.0)
+    vz_below = horizon_zenith + frac_below * (PI - horizon_zenith)
+    frac_above = 1.0 - jnp.square(1.0 - 2.0 * v)
+    vz_above = frac_above * horizon_zenith
+    view_zenith = jnp.where(v >= 0.5, vz_below, vz_above)
+    direction = jnp.stack(
+        [jnp.sin(view_zenith), jnp.cos(view_zenith), jnp.zeros_like(v)],
+        axis=-1,
+    )  # (height, 3); on-axis origin — t_seg is rotation-invariant
+    pos_axis = jnp.broadcast_to(
+        jnp.stack([jnp.zeros_like(r), r, jnp.zeros_like(r)]), direction.shape
+    )
+    hit, dist = _hit_planet(atmo, pos_axis, direction)
+    surface = pos_axis + dist[..., None] * direction
+    t_seg = sample_transmittance_segment(
+        transmittance_lut, atmo, pos_axis, surface
+    )
+    return jnp.where(hit[..., None], t_seg, 1.0)
+
+
 def sample_environment_shared(
     atmo, transmittance_lut, skyview_lut, position, direction
 ):
@@ -213,7 +252,13 @@ def sample_environment_shared(
     sample (surface->sun on hit / along-ray for the sun disk on miss).
     Per-lane bitwise identical to
     ``sample_environment(..., aerial=sample_skyview_ground(...))``;
-    equality pinned by tests/test_sky.py. 4 gathers total instead of 6."""
+    equality pinned by tests/test_sky.py. 4 gathers total instead of 6.
+
+    When the skyview LUT carries the :func:`compute_skyview_tseg` extension
+    (6 base channels), the ground branch's camera->surface transmittance
+    rides the same skyview gather instead of its own 2-gather segment
+    sample — 2 gathers total. Closeness-bounded, not bitwise
+    (tests/test_sky.py::test_skyview_tseg_frame_close)."""
     hit, dist = _hit_planet(atmo, position, direction)
     surface = position + dist[..., None] * direction
 
@@ -222,6 +267,9 @@ def sample_environment_shared(
     u, v = _skyview_uv(atmo, position, direction)
     v_sel = jnp.where(hit, jnp.maximum(v, 0.5 + 0.5 / h), v)
     sky = sample_lut_bilinear(skyview_lut, u, v_sel)
+    lut_tseg = sky.shape[-1] >= 6
+    if lut_tseg:
+        sky, t_seg_lut = sky[..., 0:3], sky[..., 3:6]
 
     # shared transmittance gather (hit: surface->sun; miss: ray for disk)
     light_dir = -atmo.incident_direction_sun
@@ -261,9 +309,12 @@ def sample_environment_shared(
         jnp.sum(surface_normal * light_dir, axis=-1, keepdims=True), 0.0, 1.0
     )
     surface_lum = t_shared * albedo * nl
-    t_surface = sample_transmittance_segment(
-        transmittance_lut, atmo, position, surface
-    )
+    if lut_tseg:
+        t_surface = t_seg_lut
+    else:
+        t_surface = sample_transmittance_segment(
+            transmittance_lut, atmo, position, surface
+        )
     ground = surface_lum * t_surface + sky
 
     # sun disk (sampleSunDisk, camera.comp:123-140; transmittance = t_shared)

@@ -237,6 +237,16 @@ class RenderConfig:
     # deviate past the parity budget — raise it (cost is unchanged; slice
     # spacing is quadratic) or set aerial_lut=False for such scenes.
     aerial_lut_far_m: float = 4000.0
+    # Ride the env branch's camera->ground segment transmittance in the
+    # skyview LUT's texels (kernels.sky.compute_skyview_tseg): t_seg along
+    # a ground-hitting camera ray depends only on elevation — the skyview
+    # v axis — so the existing skyview gather delivers it and the branch's
+    # own 2-gather segment sample disappears (aerial_lut mode only).
+    # Closeness-bounded fast mode (the v-row table is interpolated):
+    # measured whole-frame RMSE vs the exact per-pixel segment sample is
+    # far inside the 1e-3 parity budget (tests/test_sky.py). False =
+    # exact per-pixel segment sampling.
+    skyview_tseg: bool = True
     # metallic-reflection environment bounce (camera.comp:379-387). When a
     # scene provably contains no metallic material the bounce multiplies to
     # exactly zero, so skipping it is bitwise-identical and saves ~10
@@ -478,16 +488,28 @@ def _stage_sky(
         origin_mm = origin_mm + jnp.array(
             [0.0, state.atmosphere.planet_radius_mm, 0.0], jnp.float32
         )
-        sky_lut = pack_lut(
-            compute_skyview_lut(
-                state.atmosphere,
-                origin_mm,
-                t_lut,
-                width=config.skyview_width,
-                height=config.skyview_height,
-                fast=config.fast_sky,
-            )
+        sky_arr = compute_skyview_lut(
+            state.atmosphere,
+            origin_mm,
+            t_lut,
+            width=config.skyview_width,
+            height=config.skyview_height,
+            fast=config.fast_sky,
         )
+        if config.aerial_lut and config.skyview_tseg:
+            from syzygy_tpu.kernels.sky import compute_skyview_tseg
+
+            tseg_rows = compute_skyview_tseg(
+                state.atmosphere, t_lut, origin_mm, config.skyview_height
+            )  # (h, 3): u-invariant, broadcast across columns
+            sky_arr = jnp.concatenate(
+                [
+                    sky_arr,
+                    jnp.broadcast_to(tseg_rows[:, None, :], sky_arr.shape),
+                ],
+                axis=-1,
+            )
+        sky_lut = pack_lut(sky_arr)
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
 
         aerial = None

@@ -223,3 +223,73 @@ def test_sample_environment_shared_bitwise(sky_inputs):
     env, disk = sample_environment_shared(atmo, t_lut, sky_lut, pos, d)
     np.testing.assert_array_equal(np.asarray(env), np.asarray(env_ref))
     np.testing.assert_array_equal(np.asarray(disk), np.asarray(disk_ref))
+
+
+def test_skyview_tseg_rows_match_exact(sky_inputs):
+    """compute_skyview_tseg row values == the exact segment sample at each
+    row-center elevation (same math on rotation-invariant inputs)."""
+    from syzygy_tpu.kernels.sky import _hit_planet, compute_skyview_tseg
+
+    atmo, t_lut, _, _, _, _ = sky_inputs
+    height = 32
+    pos = jnp.asarray([0.0, 6.36 + 1e-5, 0.0], jnp.float32)
+    rows = np.asarray(compute_skyview_tseg(atmo, t_lut, pos, height))
+    assert rows.shape == (height, 3)
+
+    r = float(jnp.linalg.norm(pos))
+    sin_h = atmo.planet_radius_mm / r
+    horizon_zenith = np.pi - np.arcsin(float(sin_h))
+    for j in [height // 2, height // 2 + 3, height - 1]:
+        v = (j + 0.5) / height
+        frac = ((v - 0.5) * 2.0) ** 2
+        vz = horizon_zenith + frac * (np.pi - horizon_zenith)
+        d = jnp.asarray([np.sin(vz), np.cos(vz), 0.0], jnp.float32)[None]
+        hit, dist = _hit_planet(atmo, pos[None], d)
+        assert bool(hit[0]), j
+        surface = pos[None] + dist[..., None] * d
+        exact = np.asarray(
+            atm.sample_transmittance_segment(t_lut, atmo, pos[None], surface)
+        )[0]
+        np.testing.assert_allclose(rows[j], exact, rtol=0, atol=1e-5)
+    # above-horizon rows are the unused 1.0 filler
+    np.testing.assert_array_equal(rows[0], np.ones(3, np.float32))
+
+
+def test_skyview_tseg_frame_close():
+    """skyview_tseg mode (t_seg rides the skyview gather) vs the exact
+    per-pixel segment sample: whole-frame deviation inside the parity
+    budget."""
+    import dataclasses
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(
+            geo, params, dataclasses.replace(config, skyview_tseg=False)
+        )
+    )
+    b = np.asarray(
+        render_frame(
+            geo, params, dataclasses.replace(config, skyview_tseg=True)
+        )
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 5e-4, (d.max(), np.sqrt((d**2).mean()))
+    assert d.max() < 2e-2, d.max()
