@@ -248,10 +248,35 @@ def quad_pack_atlas(atlas: np.ndarray, rects: np.ndarray) -> np.ndarray:
     return np.concatenate([t00, t10, t01, t11], axis=-1)
 
 
+def _upsample_repeat(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear upsample with REPEAT wrap, texel-center aligned to the
+    renderer's sampling convention (``resolve._sample_atlas_rect``:
+    p = u*dim - 0.5, indices mod dim): fine texel j holds the source's
+    bilinear sample at u = (j + 0.5) / out_dim. Sampling the result at any
+    fine texel center therefore reproduces the source sample EXACTLY; in
+    between, the deviation is the source's bilinear kink inside the fine
+    cell (<= max |second difference| / 8 per axis for a 2x upsample)."""
+    h, w, _ = img.shape
+
+    def coords(n_in, n_out):
+        p = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        lo = np.floor(p).astype(np.int64)
+        frac = (p - lo).astype(np.float32)[None, :, None]
+        return lo % n_in, (lo + 1) % n_in, frac
+
+    y0, y1, fy = coords(h, out_h)
+    x0, x1, fx = coords(w, out_w)
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    fy = np.transpose(fy, (1, 0, 2))
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
 def joint_pack_atlas(
     atlas16: np.ndarray,  # (A_h, A_w, 16) quad-packed atlas
     rects: np.ndarray,  # (N, 4) i32 per-texture rects
     materials: np.ndarray,  # (M, 3) i32 color/normal/orm texture ids
+    pad: bool = False,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Per-MATERIAL joint atlas: (J_h, J_w, 48), one rect per material.
 
@@ -259,30 +284,45 @@ def joint_pack_atlas(
     bilinear samples hit the SAME within-rect texel — so the three
     quad-packed gathers can be one 48-channel gather (gathers are
     row-count-bound on this TPU, not width-bound: tools/gather_bench.py).
-    Returns None unless EVERY material qualifies (the frame path is a
-    static either/or; the reference's per-map descriptor sets have no such
-    constraint, but its sample count is free in hardware —
-    ``deferred/offscreen.frag:61-66`` samples 3 maps per fragment).
-
     Texel values are copied from the quad-packed atlas, so the per-rect
     REPEAT wrap baked by :func:`quad_pack_atlas` is preserved and sampling
     the joint atlas is bitwise-identical to three separate samples.
+
+    ``pad=False`` returns None unless EVERY material qualifies (the frame
+    path is a static either/or; the reference's per-map descriptor sets
+    have no such constraint, but its sample count is free in hardware —
+    ``deferred/offscreen.frag:61-66`` samples 3 maps per fragment).
+    ``pad=True`` additionally admits mixed-dimension materials by
+    :func:`_upsample_repeat`-ing the smaller maps to the per-axis max dims
+    and re-quad-packing them — exact at fine texel centers, approximate in
+    between (measured flagship deviation RMSE 2.3e-3 / max 0.14, outside
+    the parity budget — hence opt-in via ``pack_geometry``;
+    tests/test_resolve.py pins the bound); same-dimension materials keep
+    the bitwise slice path.
     """
     rects = np.asarray(rects)
     materials = np.asarray(materials).reshape(-1, 3)
     dims = rects[materials][..., 2:4]  # (M, 3, 2)
-    if not (dims == dims[:, 0:1]).all():
+    if not pad and not (dims == dims[:, 0:1]).all():
         return None
     tiles = []
     for c, n, o in materials:
-        parts = [
-            atlas16[
-                rects[t][1] : rects[t][1] + rects[t][3],
-                rects[t][0] : rects[t][0] + rects[t][2],
-            ]
-            for t in (c, n, o)
-        ]
-        tiles.append(np.concatenate(parts, axis=-1))  # (h, w, 48)
+        joint_w = max(int(rects[t][2]) for t in (c, n, o))
+        joint_h = max(int(rects[t][3]) for t in (c, n, o))
+        parts = []
+        for t in (c, n, o):
+            rx, ry, rw, rh = (int(v) for v in rects[t])
+            tile16 = atlas16[ry : ry + rh, rx : rx + rw]
+            if (rw, rh) == (joint_w, joint_h):
+                parts.append(tile16)
+            else:
+                up = _upsample_repeat(tile16[..., 0:4], joint_h, joint_w)
+                parts.append(
+                    quad_pack_atlas(
+                        up, np.asarray([[0, 0, joint_w, joint_h]])
+                    )
+                )
+        tiles.append(np.concatenate(parts, axis=-1))  # (joint_h, joint_w, 48)
     packer = TextureLibrary()
     packer._textures = tiles
     return packer.as_atlas()

@@ -178,6 +178,7 @@ def pack_geometry(
     mipmaps: bool = False,
     quad_pack: bool = True,
     joint_pack: bool = True,
+    joint_pack_pad: bool = False,
 ) -> GeometryStatic:
     """Flatten all renderable instances into one padded triangle soup.
 
@@ -199,6 +200,14 @@ def pack_geometry(
     atlas when EVERY material's color/normal/orm textures share
     dimensions (single-mip + quad_pack only), so the resolve samples all
     three maps with one gather instead of three — bitwise-identical.
+    ``joint_pack_pad`` (OPT-IN, off by default) extends this to
+    mixed-dimension materials by upsampling the smaller maps to the
+    per-axis max dims (``assets.types._upsample_repeat``): exact at fine
+    texel centers, but between them the coarse bilinear kink survives —
+    measured flagship-frame deviation RMSE 2.3e-3 / max 0.14 (high-
+    frequency normal maps at 2x), OUTSIDE the 1e-3-RMSE parity budget, so
+    it stays opt-in: a ~1-gather/px trade of fidelity for speed on
+    mixed-dimension scenes (tests/test_resolve.py pins the bound).
     """
     positions, normals, uvs, colors, vert_instance = [], [], [], [], []
     triangles, tri_material, tri_shadow, tri_centroid = [], [], [], []
@@ -277,7 +286,9 @@ def pack_geometry(
         if quad_pack:
             atlas = quad_pack_atlas(atlas, rects)
             if joint_pack:
-                joint = joint_pack_atlas(atlas, rects, materials_arr)
+                joint = joint_pack_atlas(
+                    atlas, rects, materials_arr, pad=joint_pack_pad
+                )
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),

@@ -319,3 +319,102 @@ def test_mipmapped_frame_renders():
     img = np.asarray(render_frame(geo, params, config))
     assert np.isfinite(img).all()
     assert img.max() > 0.1
+
+
+def test_upsample_repeat_odd_factor_exact():
+    """Odd-factor _upsample_repeat is EXACT under bilinear REPEAT sampling:
+    every coarse texel center (= bilinear breakpoint) coincides with a fine
+    texel center, so the fine piecewise-linear surface equals the coarse
+    one everywhere, not just at fine centers."""
+    from syzygy_tpu.assets.types import _upsample_repeat
+    from syzygy_tpu.kernels.resolve import sample_atlas_repeat
+
+    rng = np.random.default_rng(7)
+    tex = rng.uniform(0, 1, (8, 8, 4)).astype(np.float32)
+    up = _upsample_repeat(tex, 24, 24)  # 3x
+    uv = rng.uniform(-1, 2, (256, 2)).astype(np.float32)
+    ids = jnp.zeros((256,), jnp.int32)
+    a = sample_atlas_repeat(
+        ids, jnp.asarray(tex), jnp.asarray([[0, 0, 8, 8]], jnp.int32),
+        jnp.asarray(uv),
+    )
+    b = sample_atlas_repeat(
+        ids, jnp.asarray(up), jnp.asarray([[0, 0, 24, 24]], jnp.int32),
+        jnp.asarray(uv),
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_upsample_repeat_even_factor_centers_exact():
+    """Even factors are exact at fine texel centers and bounded by the
+    coarse second difference / 8 in between (the kink bound documented in
+    assets.types._upsample_repeat)."""
+    from syzygy_tpu.assets.types import _upsample_repeat
+    from syzygy_tpu.kernels.resolve import sample_atlas_repeat
+
+    rng = np.random.default_rng(11)
+    tex = rng.uniform(0, 1, (8, 8, 4)).astype(np.float32)
+    up = _upsample_repeat(tex, 16, 16)
+    # fine texel centers
+    j = np.arange(16, dtype=np.float32)
+    uu, vv = np.meshgrid((j + 0.5) / 16, (j + 0.5) / 16)
+    uv = np.stack([uu.ravel(), vv.ravel()], axis=-1).astype(np.float32)
+    ids = jnp.zeros((uv.shape[0],), jnp.int32)
+    a = sample_atlas_repeat(
+        ids, jnp.asarray(tex), jnp.asarray([[0, 0, 8, 8]], jnp.int32),
+        jnp.asarray(uv),
+    )
+    np.testing.assert_allclose(
+        np.asarray(a).reshape(16, 16, 4), up, atol=2e-6
+    )
+    # mid-cell worst case stays under the documented second-difference bound
+    mid = uv + np.float32(0.5 / 16)
+    am = sample_atlas_repeat(
+        ids, jnp.asarray(tex), jnp.asarray([[0, 0, 8, 8]], jnp.int32),
+        jnp.asarray(mid),
+    )
+    bm = sample_atlas_repeat(
+        ids, jnp.asarray(up), jnp.asarray([[0, 0, 16, 16]], jnp.int32),
+        jnp.asarray(mid),
+    )
+    d2x = np.abs(np.roll(tex, -1, 1) - 2 * tex + np.roll(tex, 1, 1))
+    d2y = np.abs(np.roll(tex, -1, 0) - 2 * tex + np.roll(tex, 1, 0))
+    bound = (d2x.max() + d2y.max()) / 8.0 + 1e-5
+    assert float(np.abs(np.asarray(am) - np.asarray(bm)).max()) <= bound
+
+
+def test_joint_pad_atlas_frame_close():
+    """Opt-in joint_pack_pad on the mixed-dimension flagship: renders, and
+    the deviation vs the exact 3-gather path stays at the measured scale
+    (RMSE ~2.3e-3 / max ~0.14 at 256x128 — OUTSIDE the 1e-3 parity
+    budget, which is why pad stays opt-in; this pins the trade-off from
+    drifting silently)."""
+    from syzygy_tpu.assets.chess import flagship_scene
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import pack_frame_params, pack_geometry
+
+    scene, lib = flagship_scene()
+    scene.tick(0.0)
+    eye = np.array([13.0, -8.0, -14.0], np.float32)
+    target = np.array([0.0, -1.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    params = pack_frame_params(scene, 2.0)
+    geo_exact = pack_geometry(scene, lib)
+    assert geo_exact.tex_atlas_joint is None  # mixed dims: stays exact
+    geo_pad = pack_geometry(scene, lib, joint_pack_pad=True)
+    assert geo_pad.tex_atlas_joint is not None
+    assert geo_pad.tex_atlas_joint.shape[-1] == 48
+    a = np.asarray(render_frame(geo_exact, params, config))
+    b = np.asarray(render_frame(geo_pad, params, config))
+    d = np.abs(a - b)
+    rmse = float(np.sqrt((d**2).mean()))
+    assert rmse < 6e-3, rmse
+    assert float(d.max()) < 0.25, d.max()
