@@ -56,8 +56,17 @@ def unit_range_from_tex_coord(coord, dim: int):
     return (coord - 0.5 / dim) / (1.0 - 1.0 / dim)
 
 
-def transmittance_rmu_to_uv(atmo: AtmospherePacked, radius, mu):
-    """``transmittanceLUT_RMu_to_UV`` (``common.glinl:40-66``)."""
+def transmittance_rmu_to_uv(
+    atmo: AtmospherePacked,
+    radius,
+    mu,
+    width: int = TRANSMITTANCE_W,
+    height: int = TRANSMITTANCE_H,
+):
+    """``transmittanceLUT_RMu_to_UV`` (``common.glinl:40-66``).
+
+    ``width``/``height`` are the actual LUT dims (the half-texel insets
+    depend on them); default is the reference 512x128."""
     atm_r2 = atmo.atmosphere_radius_mm * atmo.atmosphere_radius_mm
     pl_r2 = atmo.planet_radius_mm * atmo.planet_radius_mm
     h = safe_sqrt(atm_r2 - pl_r2)
@@ -70,15 +79,21 @@ def transmittance_rmu_to_uv(atmo: AtmospherePacked, radius, mu):
     x_mu = (d - d_min) / jnp.maximum(d_max - d_min, 1e-12)
     x_radius = rho / jnp.maximum(h, 1e-12)
     return (
-        tex_coord_from_unit_range(x_mu, TRANSMITTANCE_W),
-        tex_coord_from_unit_range(x_radius, TRANSMITTANCE_H),
+        tex_coord_from_unit_range(x_mu, width),
+        tex_coord_from_unit_range(x_radius, height),
     )
 
 
-def transmittance_uv_to_rmu(atmo: AtmospherePacked, u, v):
+def transmittance_uv_to_rmu(
+    atmo: AtmospherePacked,
+    u,
+    v,
+    width: int = TRANSMITTANCE_W,
+    height: int = TRANSMITTANCE_H,
+):
     """``transmittanceLUT_UV_to_RMu`` (``common.glinl:69-102``)."""
-    x_mu = unit_range_from_tex_coord(u, TRANSMITTANCE_W)
-    x_radius = unit_range_from_tex_coord(v, TRANSMITTANCE_H)
+    x_mu = unit_range_from_tex_coord(u, width)
+    x_radius = unit_range_from_tex_coord(v, height)
     atm_r2 = atmo.atmosphere_radius_mm * atmo.atmosphere_radius_mm
     pl_r2 = atmo.planet_radius_mm * atmo.planet_radius_mm
     h = safe_sqrt(atm_r2 - pl_r2)
@@ -115,15 +130,23 @@ class PackedLUT:
         return cls(children[0], aux[0], aux[1])
 
 
-def pack_lut(lut: jnp.ndarray) -> PackedLUT:
+def pack_lut(lut: jnp.ndarray, dtype=None) -> PackedLUT:
     """(H, W, C) -> :class:`PackedLUT` (done once per frame on device).
-    C is 3 for plain LUTs; 6 for the skyview+t_seg extended layout."""
+    C is 3 for plain LUTs; 6 for the skyview+t_seg extended layout.
+
+    ``dtype`` optionally narrows the stored quad (e.g. ``jnp.float16`` for
+    the 100 MB skyview quad — the big-table gather tier is bytes-bound:
+    2M-row 12ch gathers cost 47.5 ms f32 vs 33.9 ms f16 per 2M samples,
+    tools/gather_width_probe2.py). Samples are widened back to f32 after
+    the gather, so only storage precision changes (~5e-4 relative)."""
     h, w = lut.shape[0], lut.shape[1]
     xr = jnp.minimum(jnp.arange(w) + 1, w - 1)
     yd = jnp.minimum(jnp.arange(h) + 1, h - 1)
     quad = jnp.concatenate(
         [lut, lut[:, xr], lut[yd], lut[yd][:, xr]], axis=-1
     ).reshape(h * w, 4 * lut.shape[-1])
+    if dtype is not None:
+        quad = quad.astype(dtype)
     return PackedLUT(quad, h, w)
 
 
@@ -142,6 +165,8 @@ def sample_lut_bilinear(lut, u, v) -> jnp.ndarray:
     fy = (y - y0)[..., None]
     if isinstance(lut, PackedLUT):
         q = lut.quad[y0 * w + x0]  # (..., 4C): one gather
+        if q.dtype != jnp.float32:
+            q = q.astype(jnp.float32)  # narrow storage, f32 filtering
         c = q.shape[-1] // 4
         top = q[..., 0 : c] * (1 - fx) + q[..., c : 2 * c] * fx
         bot = q[..., 2 * c : 3 * c] * (1 - fx) + q[..., 3 * c :] * fx
@@ -154,7 +179,11 @@ def sample_lut_bilinear(lut, u, v) -> jnp.ndarray:
 
 
 def sample_transmittance_rmu(lut, atmo, radius, mu):
-    u, v = transmittance_rmu_to_uv(atmo, radius, mu)
+    if isinstance(lut, PackedLUT):
+        w, h = lut.w, lut.h
+    else:
+        h, w = lut.shape[0], lut.shape[1]
+    u, v = transmittance_rmu_to_uv(atmo, radius, mu, w, h)
     return sample_lut_bilinear(lut, u, v)
 
 
@@ -469,13 +498,22 @@ def luminance_scattering_integral_fast(
     return luminance
 
 
-@jax.jit
-def compute_transmittance_lut(atmo: AtmospherePacked) -> jnp.ndarray:
-    """``transmittance_LUT.comp``: (128, 512, 3) f32, 500-sample optical depth."""
-    u = (jnp.arange(TRANSMITTANCE_W, dtype=jnp.float32) + 0.5) / TRANSMITTANCE_W
-    v = (jnp.arange(TRANSMITTANCE_H, dtype=jnp.float32) + 0.5) / TRANSMITTANCE_H
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def compute_transmittance_lut(
+    atmo: AtmospherePacked,
+    width: int = TRANSMITTANCE_W,
+    height: int = TRANSMITTANCE_H,
+) -> jnp.ndarray:
+    """``transmittance_LUT.comp``: (height, width, 3) f32, 500-sample optical
+    depth. Reference dims 512x128 (``common.glinl:13``); smaller dims are a
+    closeness-bounded fast mode (the field is smooth — see
+    ``tests/test_atmosphere.py::test_transmittance_lut_downsample_close``).
+    The half-texel UV insets follow ``width``/``height``, and every sampler
+    derives them from the LUT object, so any dims are self-consistent."""
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
     uu, vv = jnp.meshgrid(u, v)  # (H, W)
-    radius, mu = transmittance_uv_to_rmu(atmo, uu, vv)
+    radius, mu = transmittance_uv_to_rmu(atmo, uu, vv, width, height)
 
     origin = jnp.stack(
         [jnp.zeros_like(radius), radius, jnp.zeros_like(radius)], axis=-1
@@ -498,7 +536,7 @@ def compute_transmittance_lut(atmo: AtmospherePacked) -> jnp.ndarray:
         0,
         TRANSMITTANCE_SAMPLES,
         lambda i, tr: body(jnp.float32(i), tr),
-        jnp.ones((TRANSMITTANCE_H, TRANSMITTANCE_W, 3), jnp.float32),
+        jnp.ones((height, width, 3), jnp.float32),
     )
     return jnp.where(hit[..., None], transmittance, 1.0)
 

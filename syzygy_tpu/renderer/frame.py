@@ -189,6 +189,23 @@ class RenderConfig:
     shadow_bias_slope: float = 0.0
     skyview_width: int = 2048  # skyview.cpp:175
     skyview_height: int = 1024
+    # transmittance LUT dims; reference 512x128 (common.glinl:13). The
+    # quad-packed LUT at reference dims is 3.1 MB — just above the ~1 MB
+    # table size where this TPU's gather rate drops ~3x (tools/
+    # gather_width_probe2.py: <=1 MB tables ~8 ms per 2M random samples,
+    # 1.5-32 MB ~25 ms). 256x64 packs to 0.79 MB; the field is smooth, so
+    # downsampling is closeness-bounded (test_transmittance_lut_downsample
+    # _close). Half-texel insets follow the dims (samplers derive them from
+    # the LUT object), so any dims are self-consistent.
+    transmittance_width: int = 512
+    transmittance_height: int = 128
+    # store the skyview quad in f16 (sampled values widen back to f32
+    # before filtering). The 2048x1024 quad is 100 MB f32 — in the
+    # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
+    # 2M samples, tools/gather_width_probe2.py). Storage-precision-only
+    # fast mode (~5e-4 relative); bounded by
+    # tests/test_sky.py::test_skyview_f16_frame_close.
+    skyview_f16: bool = False
     render_atmosphere: bool = True
     debug_lines: bool = False  # wireframe bounds overlay (debuglines.hpp)
     oetf: str = "srgb"  # GammaTransferFunction (editorconfig.hpp:5-9)
@@ -244,9 +261,15 @@ class RenderConfig:
     # own 2-gather segment sample disappears (aerial_lut mode only).
     # Closeness-bounded fast mode (the v-row table is interpolated):
     # measured whole-frame RMSE vs the exact per-pixel segment sample is
-    # far inside the 1e-3 parity budget (tests/test_sky.py). False =
-    # exact per-pixel segment sampling.
-    skyview_tseg: bool = True
+    # far inside the 1e-3 parity budget (tests/test_sky.py).
+    # DEFAULT OFF — measured a net LOSS on device (tools/tseg_ab.py r4:
+    # 258.6 vs 254.8 ms/frame): widening the 2M-row skyview quad's gather
+    # rows 12->24 f32 costs more than the two small-table segment gathers
+    # it removes. Gather cost scales with row width once a table is
+    # ~100 MB (tools/gather_width_probe.py: 2M rows x 12/24/48ch =
+    # 48/66/110 ms per 2M random samples, while <=32 MB tables are
+    # width-independent). Kept as an option for small-skyview configs.
+    skyview_tseg: bool = False
     # metallic-reflection environment bounce (camera.comp:379-387). When a
     # scene provably contains no metallic material the bounce multiplies to
     # exactly zero, so skipping it is bitwise-identical and saves ~10
@@ -482,7 +505,13 @@ def _stage_sky(
     if config.render_atmosphere:
         # quad-pack once per frame: every downstream bilinear sample of the
         # transmittance LUT becomes ONE gather (kernels/atmosphere.py)
-        t_lut = pack_lut(compute_transmittance_lut(state.atmosphere))
+        t_lut = pack_lut(
+            compute_transmittance_lut(
+                state.atmosphere,
+                width=config.transmittance_width,
+                height=config.transmittance_height,
+            )
+        )
         origin_mm = state.camera.position[:3] / METERS_PER_MM
         origin_mm = origin_mm * jnp.array([1.0, -1.0, 1.0], jnp.float32)
         origin_mm = origin_mm + jnp.array(
@@ -509,7 +538,9 @@ def _stage_sky(
                 ],
                 axis=-1,
             )
-        sky_lut = pack_lut(sky_arr)
+        sky_lut = pack_lut(
+            sky_arr, dtype=jnp.float16 if config.skyview_f16 else None
+        )
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
 
         aerial = None

@@ -184,3 +184,42 @@ def test_skyview_rowwise(atmo):
         d = np.abs(exact - row)
         assert d.max() < max_tol, d.max()
         assert float(np.sqrt((d**2).mean())) < rmse_tol
+
+
+def test_transmittance_lut_downsample_close(atmo):
+    """Non-default LUT dims are self-consistent (half-texel insets follow the
+    dims) and close to the reference 512x128 field: the transmittance field
+    is smooth, so a 256x64 LUT sampled over the valid (radius, mu) domain
+    stays within float-noise-scale deviation of the full-res LUT."""
+    full = atm.pack_lut(atm.compute_transmittance_lut(atmo))
+    half = atm.pack_lut(
+        atm.compute_transmittance_lut(atmo, width=256, height=64)
+    )
+    rng = np.random.default_rng(7)
+    pl = float(atmo.planet_radius_mm)
+    at = float(atmo.atmosphere_radius_mm)
+    radius = jnp.asarray(
+        rng.uniform(pl + 1e-5, at - 1e-5, size=4096), jnp.float32
+    )
+    mu = jnp.asarray(rng.uniform(-0.05, 1.0, size=4096), jnp.float32)
+    a = np.asarray(atm.sample_transmittance_rmu(full, atmo, radius, mu))
+    b = np.asarray(atm.sample_transmittance_rmu(half, atmo, radius, mu))
+    d = np.abs(a - b)
+    assert d.max() < 2e-2, d.max()
+    assert float(np.sqrt((d**2).mean())) < 2e-3
+
+
+def test_transmittance_lut_dims_self_consistent(atmo):
+    """Sampling a non-default-dims LUT at its own texel-center (radius, mu)
+    coordinates reproduces the stored texels to UV-roundtrip float noise
+    (~3e-5) — proves the UV mapping's half-texel insets are derived from the
+    actual LUT dims end-to-end (builder -> sampler). With insets still pinned
+    to 512x128 the error here is ~1e-2."""
+    w, h = 128, 32
+    lut = atm.compute_transmittance_lut(atmo, width=w, height=h)
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    uu, vv = jnp.meshgrid(u, v)
+    radius, mu = atm.transmittance_uv_to_rmu(atmo, uu, vv, w, h)
+    got = np.asarray(atm.sample_transmittance_rmu(lut, atmo, radius, mu))
+    np.testing.assert_allclose(got, np.asarray(lut), atol=1e-4)

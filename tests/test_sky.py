@@ -293,3 +293,83 @@ def test_skyview_tseg_frame_close():
     d = np.abs(a - b)
     assert float(np.sqrt((d**2).mean())) < 5e-4, (d.max(), np.sqrt((d**2).mean()))
     assert d.max() < 2e-2, d.max()
+
+
+def test_skyview_f16_frame_close():
+    """skyview_f16 (f16 quad storage, f32 filtering) vs f32 storage:
+    whole-frame deviation at storage-precision scale, far inside the
+    parity budget."""
+    import dataclasses
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(
+            geo, params, dataclasses.replace(config, skyview_f16=False)
+        )
+    )
+    b = np.asarray(
+        render_frame(
+            geo, params, dataclasses.replace(config, skyview_f16=True)
+        )
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 2e-4, (d.max(), np.sqrt((d**2).mean()))
+    assert d.max() < 5e-3, d.max()
+
+
+def test_transmittance_dims_frame_close():
+    """A 256x64 transmittance LUT (cheap gather tier, tools/
+    gather_width_probe2.py) vs the reference 512x128: whole-frame deviation
+    inside the parity budget."""
+    import dataclasses
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(render_frame(geo, params, config))
+    b = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(
+                config, transmittance_width=256, transmittance_height=64
+            ),
+        )
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 5e-4, (d.max(), np.sqrt((d**2).mean()))
+    assert d.max() < 2e-2, d.max()
