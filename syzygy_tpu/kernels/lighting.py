@@ -135,9 +135,9 @@ def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     the window bound is exact over the valid domain). Each pixel then
     fetches 5 segments (one per tap row)
     instead of 25 single texels — gathers are the TPU bottleneck
-    (tools/gather_bench.py g5) — and selects tap channels with one-hot
-    dots. Values, masks and compares are bitwise-identical to the
-    per-texel formulation (tests/test_lighting.py).
+    (tools/gather_bench.py g5) — and extracts tap results from a per-row
+    compare bitmask (see inline comment). Values, masks and compares are
+    bitwise-identical to the per-texel formulation (tests/test_lighting.py).
 
     Maps above 2048^2 use the direct per-texel form instead: the segment
     table costs 16 x dim^2 floats (2.2 GB per light at 4096^2 — measured
@@ -163,29 +163,31 @@ def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     start = base - 3 + pad  # leftmost texel any tap can touch (padded x)
     w = jnp.clip(jnp.floor_divide(start, 8), 0, n_w - 1)
 
-    def select16(row, c):
-        """row[..., c] via a 4-level binary select tree (~2x cheaper than a
-        16-wide one-hot dot; tools/light_probe.py puts the selects at ~55 ms
-        per 3 lights). Out-of-range c picks an arbitrary finite channel —
-        such taps are outside the map and masked by `inside` below."""
-        r = jnp.where((c & 8)[..., None] != 0, row[..., 8:], row[..., :8])
-        r = jnp.where((c & 4)[..., None] != 0, r[..., 4:], r[..., :4])
-        r = jnp.where((c & 2)[..., None] != 0, r[..., 2:], r[..., :2])
-        return jnp.where((c & 1) != 0, r[..., 1], r[..., 0])
-
+    # Bitmask tap extraction: the occluder test per tap only needs the
+    # BOOLEAN (occ > 0) & (occ > frag), and compare commutes with channel
+    # select — so compare ALL 16 window channels once per row (16 vector
+    # compares), pack the booleans into an int32 bitmask (one weighted
+    # reduce), and each tap extracts its bit with a variable right-shift
+    # (2 integer ops). Replaces the per-tap 4-level binary select tree
+    # (~15 (H,W)-wide selects x 5 taps per row) — bitwise-identical
+    # results (tests/test_lighting.py::test_pcf_windowed_matches_naive).
+    bit_weights = (1 << jnp.arange(16, dtype=jnp.int32)).astype(jnp.float32)
     occluded = jnp.zeros_like(frag_depth)
     for oy in range(-2, 3):
         iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, size - 1)
         row = windows[iyc * n_w + w]  # (..., 16): ONE gather per tap row
+        cmp = (row > 0.0) & (row > frag_depth[..., None])  # (..., 16)
+        bits = jnp.sum(
+            cmp.astype(jnp.float32) * bit_weights, axis=-1
+        ).astype(jnp.int32)
+        iy_in = (iy >= 0) & (iy < size)
         for ox in range(-2, 3):
             ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
-            inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+            inside = iy_in & (ix >= 0) & (ix < size)
             c = jnp.clip(ix + pad - 8 * w, 0, 15)  # tap channel in segment
-            occ_depth = jnp.where(inside, select16(row, c), 0.0)
-            occluded += jnp.where(
-                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
-            )
+            bit = jnp.right_shift(bits, c) & 1
+            occluded += jnp.where(inside, bit.astype(jnp.float32), 0.0)
     return 1.0 - occluded / 25.0
 
 

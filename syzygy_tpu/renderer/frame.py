@@ -202,10 +202,12 @@ class RenderConfig:
     # store the skyview quad in f16 (sampled values widen back to f32
     # before filtering). The 2048x1024 quad is 100 MB f32 — in the
     # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
-    # 2M samples, tools/gather_width_probe2.py). Storage-precision-only
-    # fast mode (~5e-4 relative); bounded by
-    # tests/test_sky.py::test_skyview_f16_frame_close.
-    skyview_f16: bool = False
+    # 2M samples, tools/gather_width_probe2.py). Frame-level A/B
+    # (tools/lut_tier_ab.py, one session): 251.1 -> 222.1 ms/frame.
+    # Storage-precision-only fast mode (~5e-4 relative); bounded by
+    # tests/test_sky.py::test_skyview_f16_frame_close (frame RMSE <2e-4).
+    # False = exact f32 storage (bitwise reference formulas).
+    skyview_f16: bool = True
     render_atmosphere: bool = True
     debug_lines: bool = False  # wireframe bounds overlay (debuglines.hpp)
     oetf: str = "srgb"  # GammaTransferFunction (editorconfig.hpp:5-9)

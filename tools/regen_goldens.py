@@ -73,8 +73,13 @@ def main():
     state = jax.jit(prepare_frame_state)(params)
     t_lut = np.asarray(compute_transmittance_lut(state.atmosphere))
     origin = np.array([0.0, 6.3601, 0.0], np.float32)
+    # rowwise=False: the golden pins the quirk-exact per-texel build
+    # (test_atmosphere_luts_match_golden asserts with rowwise=False)
     s_lut = np.asarray(
-        compute_skyview_lut(state.atmosphere, origin, t_lut, width=256, height=128)
+        compute_skyview_lut(
+            state.atmosphere, origin, t_lut, width=256, height=128,
+            rowwise=False,
+        )
     )
     np.savez_compressed(ATMOSPHERE_LUTS, transmittance=t_lut, skyview=s_lut)
     print(f"wrote {ATMOSPHERE_LUTS}", flush=True)
