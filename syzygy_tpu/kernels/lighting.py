@@ -124,7 +124,7 @@ _PCF_PAD = 8  # border texels (clamp-to-border 0) + window alignment slack
 _PCF_WINDOW_MAX_DIM = 2048  # windowed-segment table is O(dim^2 * 16)
 
 
-def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
+def sample_shadow_map(shadow_map, coord, dx, dy, bitmask=False) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
     clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
 
@@ -163,31 +163,59 @@ def sample_shadow_map(shadow_map, coord, dx, dy) -> jnp.ndarray:
     start = base - 3 + pad  # leftmost texel any tap can touch (padded x)
     w = jnp.clip(jnp.floor_divide(start, 8), 0, n_w - 1)
 
-    # Bitmask tap extraction: the occluder test per tap only needs the
-    # BOOLEAN (occ > 0) & (occ > frag), and compare commutes with channel
-    # select — so compare ALL 16 window channels once per row (16 vector
-    # compares), pack the booleans into an int32 bitmask (one weighted
-    # reduce), and each tap extracts its bit with a variable right-shift
-    # (2 integer ops). Replaces the per-tap 4-level binary select tree
-    # (~15 (H,W)-wide selects x 5 taps per row) — bitwise-identical
-    # results (tests/test_lighting.py::test_pcf_windowed_matches_naive).
-    bit_weights = (1 << jnp.arange(16, dtype=jnp.int32)).astype(jnp.float32)
+    if bitmask:
+        # Bitmask tap extraction (MEASURED LOSS — kept as a documented
+        # negative result): compare ALL 16 window channels once per row,
+        # pack the booleans into an int32 bitmask, extract each tap's bit
+        # with a variable right-shift. Bitwise-identical to the select
+        # tree (test_pcf_bitmask_matches_select_tree) and ~40% less
+        # arithmetic on paper, but per-lane VARIABLE shift amounts lower
+        # catastrophically on this TPU: 388 vs 222 ms/frame, +55 ms per
+        # PCF evaluation (tools/pcf_ab.py BABA, one session). Default off.
+        bit_weights = (1 << jnp.arange(16, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        occluded = jnp.zeros_like(frag_depth)
+        for oy in range(-2, 3):
+            iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+            iyc = jnp.clip(iy, 0, size - 1)
+            row = windows[iyc * n_w + w]  # (..., 16): ONE gather per row
+            cmp = (row > 0.0) & (row > frag_depth[..., None])  # (..., 16)
+            bits = jnp.sum(
+                cmp.astype(jnp.float32) * bit_weights, axis=-1
+            ).astype(jnp.int32)
+            iy_in = (iy >= 0) & (iy < size)
+            for ox in range(-2, 3):
+                ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
+                inside = iy_in & (ix >= 0) & (ix < size)
+                c = jnp.clip(ix + pad - 8 * w, 0, 15)  # channel in segment
+                bit = jnp.right_shift(bits, c) & 1
+                occluded += jnp.where(inside, bit.astype(jnp.float32), 0.0)
+        return 1.0 - occluded / 25.0
+
+    def select16(row, c):
+        """row[..., c] via a 4-level binary select tree (~2x cheaper than a
+        16-wide one-hot dot; tools/light_probe.py puts the selects at ~55 ms
+        per 3 lights). Out-of-range c picks an arbitrary finite channel —
+        such taps are outside the map and masked by `inside` below."""
+        r = jnp.where((c & 8)[..., None] != 0, row[..., 8:], row[..., :8])
+        r = jnp.where((c & 4)[..., None] != 0, r[..., 4:], r[..., :4])
+        r = jnp.where((c & 2)[..., None] != 0, r[..., 2:], r[..., :2])
+        return jnp.where((c & 1) != 0, r[..., 1], r[..., 0])
+
     occluded = jnp.zeros_like(frag_depth)
     for oy in range(-2, 3):
         iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, size - 1)
         row = windows[iyc * n_w + w]  # (..., 16): ONE gather per tap row
-        cmp = (row > 0.0) & (row > frag_depth[..., None])  # (..., 16)
-        bits = jnp.sum(
-            cmp.astype(jnp.float32) * bit_weights, axis=-1
-        ).astype(jnp.int32)
-        iy_in = (iy >= 0) & (iy < size)
         for ox in range(-2, 3):
             ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
-            inside = iy_in & (ix >= 0) & (ix < size)
+            inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
             c = jnp.clip(ix + pad - 8 * w, 0, 15)  # tap channel in segment
-            bit = jnp.right_shift(bits, c) & 1
-            occluded += jnp.where(inside, bit.astype(jnp.float32), 0.0)
+            occ_depth = jnp.where(inside, select16(row, c), 0.0)
+            occluded += jnp.where(
+                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
+            )
     return 1.0 - occluded / 25.0
 
 
@@ -237,6 +265,7 @@ def deferred_lighting(
     spot_count: jnp.ndarray,
     shadow_maps: jnp.ndarray,  # (D + S, dim, dim) f32 depth
     unroll: bool = False,
+    pcf_bitmask: bool = False,  # PCF tap extraction variant (sample_shadow_map)
 ) -> jnp.ndarray:
     """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
 
@@ -270,7 +299,7 @@ def deferred_lighting(
         coord, dx, dy = compute_shadow_frame(
             light_pv, material.position, material.normal
         )
-        shadow = sample_shadow_map(shadow_maps[i], coord, dx, dy)
+        shadow = sample_shadow_map(shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask)
         light_dir = _normalize(-light.forward[:3])[None, None, :]
         spectral = (light.color[:3] * light.strength)[
             None, None, :
@@ -320,7 +349,7 @@ def deferred_lighting(
         coord, dx, dy = compute_shadow_frame(
             light_pv, material.position, material.normal
         )
-        shadow = sample_shadow_map(shadow_maps[n_dir + j], coord, dx, dy)
+        shadow = sample_shadow_map(shadow_maps[n_dir + j], coord, dx, dy, bitmask=pcf_bitmask)
         light_dir = _normalize(-spot.forward[:3])[None, None, :]
         # quadratic falloff + UV edge softening (lights.comp:73-91)
         dist = jnp.linalg.norm(

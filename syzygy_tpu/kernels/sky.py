@@ -208,9 +208,9 @@ def compute_skyview_tseg(atmo, transmittance_lut, position, height: int):
     atmosphere is spherically symmetric and the camera radius is fixed per
     frame) — exactly the skyview LUT's v axis, whose horizon-centered sqrt
     warp (``skyview_LUT.comp:51-89``) concentrates rows where t_seg varies
-    fastest. Stacking these rows as 3 extra skyview channels lets the env
-    branch's EXISTING skyview gather deliver t_seg, removing its two
-    per-pixel transmittance gathers (RenderConfig.skyview_tseg; the exact
+    fastest. Packed via :func:`pack_tseg_rows` into a tiny (h, 6) table,
+    one cheap-tier gather replaces the env branch's two per-pixel
+    transmittance-segment gathers (RenderConfig.skyview_tseg; the exact
     per-pixel path remains the skyview_tseg=False mode). Rows above the
     horizon (no planet hit) hold 1.0 and are never selected."""
     r = jnp.sqrt(jnp.maximum(jnp.sum(position * position), 1e-20))
@@ -238,8 +238,31 @@ def compute_skyview_tseg(atmo, transmittance_lut, position, height: int):
     return jnp.where(hit[..., None], t_seg, 1.0)
 
 
+def pack_tseg_rows(rows: jnp.ndarray) -> jnp.ndarray:
+    """(h, 3) :func:`compute_skyview_tseg` rows -> (h, 6) packed pairs
+    ``[t(y), t(y+1)]`` (edge-clamped), so a v-interpolated sample is ONE
+    cheap-tier gather (the table is a few KB — tools/gather_width_probe2.py
+    puts <=16k-row tables at ~8 ms per 2M samples vs ~7.5 ms per
+    transmittance-LUT gather it replaces, x2)."""
+    h = rows.shape[0]
+    yd = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    return jnp.concatenate([rows, rows[yd]], axis=-1)
+
+
+def _sample_tseg_rows(packed: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """v-only linear sample of a :func:`pack_tseg_rows` table, using the
+    SAME v->row mapping as :func:`..atmosphere.sample_lut_bilinear` (so the
+    result equals bilinear-sampling the rows broadcast across columns)."""
+    h = packed.shape[0]
+    y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fy = (y - y0)[..., None]
+    q = packed[y0]  # (..., 6): one gather
+    return q[..., 0:3] * (1 - fy) + q[..., 3:6] * fy
+
+
 def sample_environment_shared(
-    atmo, transmittance_lut, skyview_lut, position, direction
+    atmo, transmittance_lut, skyview_lut, position, direction, tseg_rows=None
 ):
     """``sampleEnvironmentLuminanceTransfer`` (``camera.comp:286-301``) with
     branch-shared gathers, for the aerial-LUT path.
@@ -254,11 +277,13 @@ def sample_environment_shared(
     ``sample_environment(..., aerial=sample_skyview_ground(...))``;
     equality pinned by tests/test_sky.py. 4 gathers total instead of 6.
 
-    When the skyview LUT carries the :func:`compute_skyview_tseg` extension
-    (6 base channels), the ground branch's camera->surface transmittance
-    rides the same skyview gather instead of its own 2-gather segment
-    sample — 2 gathers total. Closeness-bounded, not bitwise
-    (tests/test_sky.py::test_skyview_tseg_frame_close)."""
+    ``tseg_rows`` (a :func:`pack_tseg_rows` table over the skyview v axis)
+    replaces the ground branch's 2-gather per-pixel transmittance segment
+    sample with ONE tiny-table gather — 3 gathers total. Closeness-bounded,
+    not bitwise (tests/test_sky.py::test_skyview_tseg_frame_close). An
+    earlier variant rode these rows as 3 extra skyview-quad channels;
+    widening the 100 MB bytes-bound quad measured as a net frame LOSS
+    (258.6 vs 254.8 ms, tools/tseg_ab.py), hence the separate table."""
     hit, dist = _hit_planet(atmo, position, direction)
     surface = position + dist[..., None] * direction
 
@@ -267,9 +292,8 @@ def sample_environment_shared(
     u, v = _skyview_uv(atmo, position, direction)
     v_sel = jnp.where(hit, jnp.maximum(v, 0.5 + 0.5 / h), v)
     sky = sample_lut_bilinear(skyview_lut, u, v_sel)
-    lut_tseg = sky.shape[-1] >= 6
-    if lut_tseg:
-        sky, t_seg_lut = sky[..., 0:3], sky[..., 3:6]
+    if tseg_rows is not None:
+        t_seg_lut = _sample_tseg_rows(tseg_rows, v_sel)
 
     # shared transmittance gather (hit: surface->sun; miss: ray for disk)
     light_dir = -atmo.incident_direction_sun
@@ -309,7 +333,7 @@ def sample_environment_shared(
         jnp.sum(surface_normal * light_dir, axis=-1, keepdims=True), 0.0, 1.0
     )
     surface_lum = t_shared * albedo * nl
-    if lut_tseg:
+    if tseg_rows is not None:
         t_surface = t_seg_lut
     else:
         t_surface = sample_transmittance_segment(
@@ -598,6 +622,10 @@ def sky_camera_pass(
     # surface positions, camera.comp:286-301).
     aerial=None,  # (n_y, n_x, n_slices, 3) from build_aerial_lut, or None
     aerial_t_max: float = 0.0,  # Mm; must match build_aerial_lut's t_max
+    # (h, 6) pack_tseg_rows table: env ground branch's camera->surface
+    # transmittance from ONE tiny-table gather (RenderConfig.skyview_tseg)
+    tseg_rows=None,
+    pcf_bitmask: bool = False,  # PCF tap extraction variant (lighting.py)
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -652,7 +680,7 @@ def sky_camera_pass(
     coord, dx, dy = compute_shadow_frame(
         sun_pv, material.position, material.normal
     )
-    sun_shadow = sample_shadow_map(sun_shadow_map, coord, dx, dy)
+    sun_shadow = sample_shadow_map(sun_shadow_map, coord, dx, dy, bitmask=pcf_bitmask)
 
     if aerial is not None:
         # geometry rays: froxel volume; environment ground rays: the skyview
@@ -682,7 +710,8 @@ def sky_camera_pass(
         else:
             es_pos, es_dir = pos_grid, direction
         env, disk = sample_environment_shared(
-            atmo, transmittance_lut, skyview_lut, es_pos, es_dir
+            atmo, transmittance_lut, skyview_lut, es_pos, es_dir,
+            tseg_rows=tseg_rows,
         )
         # Branch A: background / underground (camera.comp:354-361);
         # shadowFactor = 1 on this branch

@@ -199,6 +199,13 @@ class RenderConfig:
     # the LUT object), so any dims are self-consistent.
     transmittance_width: int = 512
     transmittance_height: int = 128
+    # PCF tap extraction variant (kernels/lighting.py::sample_shadow_map):
+    # False = per-tap binary select tree (default), True = per-row compare
+    # bitmask + variable-shift extraction. Bitwise-identical results, but
+    # the bitmask MEASURED 388 vs 222 ms/frame (tools/pcf_ab.py BABA —
+    # per-lane variable shifts lower catastrophically on this TPU); the
+    # knob + negative result are kept so it is not re-attempted.
+    pcf_bitmask: bool = False
     # store the skyview quad in f16 (sampled values widen back to f32
     # before filtering). The 2048x1024 quad is 100 MB f32 — in the
     # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
@@ -477,8 +484,8 @@ def _stage_geometry(
     return state, vis, gbuffer, shadow_maps
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _stage_lighting(state: FrameState, gbuffer, shadow_maps):
+@functools.partial(jax.jit, static_argnames=("pcf_bitmask",))
+def _stage_lighting(state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False):
     """deferred lighting (lights.comp); scene color clamps like UNORM."""
     lit = deferred_lighting(
         gbuffer,
@@ -489,6 +496,7 @@ def _stage_lighting(state: FrameState, gbuffer, shadow_maps):
         state.spot_lights,
         state.spot_count,
         shadow_maps,
+        pcf_bitmask=pcf_bitmask,
     )
     return jnp.clip(lit, 0.0, 1.0)
 
@@ -527,19 +535,18 @@ def _stage_sky(
             height=config.skyview_height,
             fast=config.fast_sky,
         )
+        tseg_packed = None
         if config.aerial_lut and config.skyview_tseg:
-            from syzygy_tpu.kernels.sky import compute_skyview_tseg
-
-            tseg_rows = compute_skyview_tseg(
-                state.atmosphere, t_lut, origin_mm, config.skyview_height
-            )  # (h, 3): u-invariant, broadcast across columns
-            sky_arr = jnp.concatenate(
-                [
-                    sky_arr,
-                    jnp.broadcast_to(tseg_rows[:, None, :], sky_arr.shape),
-                ],
-                axis=-1,
+            from syzygy_tpu.kernels.sky import (
+                compute_skyview_tseg,
+                pack_tseg_rows,
             )
+
+            tseg_packed = pack_tseg_rows(
+                compute_skyview_tseg(
+                    state.atmosphere, t_lut, origin_mm, config.skyview_height
+                )
+            )  # (h, 6): u-invariant rows; ONE tiny-table gather per pixel
         sky_lut = pack_lut(
             sky_arr, dtype=jnp.float16 if config.skyview_f16 else None
         )
@@ -572,6 +579,8 @@ def _stage_sky(
                 fast_reflection=config.fast_sky_reflection,
                 aerial=aerial,
                 aerial_t_max=t_max_mm,
+                tseg_rows=tseg_packed,
+                pcf_bitmask=config.pcf_bitmask,
             )
 
         h, w = lit.shape[0], lit.shape[1]
@@ -622,7 +631,9 @@ def _stage_lighting_sky(
 ):
     """Lighting + sky fused into one device program (RenderConfig.
     fuse_lighting_sky): same math, one fewer dispatch per frame."""
-    lit = _stage_lighting.__wrapped__(state, gbuffer, shadow_maps)
+    lit = _stage_lighting.__wrapped__(
+        state, gbuffer, shadow_maps, config.pcf_bitmask
+    )
     return _stage_sky.__wrapped__(
         state, lit, vis_depth, gbuffer, shadow_maps, config, row0
     )
@@ -633,7 +644,7 @@ def _finish_frame(state, vis, gbuffer, shadow_maps, config):
         return _stage_lighting_sky(
             state, vis.depth, gbuffer, shadow_maps, config
         )
-    lit = _stage_lighting(state, gbuffer, shadow_maps)
+    lit = _stage_lighting(state, gbuffer, shadow_maps, config.pcf_bitmask)
     return _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
 
 
@@ -722,7 +733,9 @@ def render_frame_rows(
     vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
 
-    lit = _stage_lighting.__wrapped__(state, gbuffer, shadow_maps)
+    lit = _stage_lighting.__wrapped__(
+        state, gbuffer, shadow_maps, config.pcf_bitmask
+    )
     encoded = _stage_sky.__wrapped__(
         state, lit, vis.depth, gbuffer, shadow_maps, config, row0
     )

@@ -265,3 +265,32 @@ def test_pcf_large_map_path_matches_windowed():
     a = np.asarray(sample_shadow_map(shadow, coord, dx, dy))
     b = np.asarray(_sample_shadow_map_naive(shadow, coord, dx, dy))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pcf_bitmask_matches_select_tree():
+    """The bitmask tap extraction == the select-tree formulation, bitwise
+    (compare commutes with channel select; both count identical booleans)."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(3)
+    size = 64
+    smap = jnp.asarray(rng.random((size, size), np.float32))
+    h, w = 33, 65
+    coord = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.2, 1.2, (h, w)),  # u incl. out-of-map taps
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.random((h, w)),  # frag depth
+                np.ones((h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    dx = jnp.asarray(rng.random((h, w), np.float32))
+    dy = jnp.asarray(rng.random((h, w), np.float32))
+    a = np.asarray(sample_shadow_map(smap, coord, dx, dy, bitmask=True))
+    b = np.asarray(sample_shadow_map(smap, coord, dx, dy, bitmask=False))
+    np.testing.assert_array_equal(a, b)
