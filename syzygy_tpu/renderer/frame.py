@@ -263,22 +263,20 @@ class RenderConfig:
     # deviate past the parity budget — raise it (cost is unchanged; slice
     # spacing is quadratic) or set aerial_lut=False for such scenes.
     aerial_lut_far_m: float = 4000.0
-    # Ride the env branch's camera->ground segment transmittance in the
-    # skyview LUT's texels (kernels.sky.compute_skyview_tseg): t_seg along
-    # a ground-hitting camera ray depends only on elevation — the skyview
-    # v axis — so the existing skyview gather delivers it and the branch's
-    # own 2-gather segment sample disappears (aerial_lut mode only).
+    # The env branch's camera->ground segment transmittance from a tiny
+    # per-frame row table (kernels.sky.compute_skyview_tseg +
+    # pack_tseg_rows): t_seg along a ground-hitting camera ray depends only
+    # on elevation — the skyview v axis — so a (skyview_height, 6) packed
+    # table sampled at the skyview v replaces the branch's 2-gather
+    # per-pixel segment sample with ONE cheap-tier gather (aerial_lut mode
+    # only). Measured 221.6 -> 215.1 ms/frame (tools/tseg_ab.py, one
+    # session). An earlier variant rode the rows as extra skyview-quad
+    # channels; widening the 100 MB bytes-bound quad 12->24ch was a net
+    # LOSS (258.6 vs 254.8 ms) — hence the separate table.
     # Closeness-bounded fast mode (the v-row table is interpolated):
-    # measured whole-frame RMSE vs the exact per-pixel segment sample is
-    # far inside the 1e-3 parity budget (tests/test_sky.py).
-    # DEFAULT OFF — measured a net LOSS on device (tools/tseg_ab.py r4:
-    # 258.6 vs 254.8 ms/frame): widening the 2M-row skyview quad's gather
-    # rows 12->24 f32 costs more than the two small-table segment gathers
-    # it removes. Gather cost scales with row width once a table is
-    # ~100 MB (tools/gather_width_probe.py: 2M rows x 12/24/48ch =
-    # 48/66/110 ms per 2M random samples, while <=32 MB tables are
-    # width-independent). Kept as an option for small-skyview configs.
-    skyview_tseg: bool = False
+    # whole-frame RMSE vs the exact per-pixel segment sample is far inside
+    # the 1e-3 parity budget (tests/test_sky.py); False = exact.
+    skyview_tseg: bool = True
     # metallic-reflection environment bounce (camera.comp:379-387). When a
     # scene provably contains no metallic material the bounce multiplies to
     # exactly zero, so skipping it is bitwise-identical and saves ~10
