@@ -17,7 +17,7 @@ measurements, docs/BENCHMARKS.md):
   frame slices its row on device.
 * Deep submission queues (50+ heavy frames in flight) wedge the remote
   worker (tools/tunnel_probe.py phase D hung; r1 saw crash loops), so
-  frames run in small GROUPS of 8: within a group, frame N+1's params are
+  frames run in small GROUPS of 16: within a group, frame N+1's params are
   data-dependent on frame N's pixels (a device-side fold — chaining
   scalar programs is free), and one 4-byte fetch forces the whole group.
   This amortizes the per-wait tunnel round trip (~0.4 s) over the group
@@ -69,7 +69,8 @@ def _flagship_scene():
 
 
 def _measure_scene(
-    scene, library, config, frames: int = 16, group: int = 8
+    scene, library, config, frames: int = 32, group: int = 16,
+    pack_kwargs: dict | None = None,
 ) -> float:
     """Median ms/frame over groups of ``group`` chained frames, each group
     forced by a 4-byte fetch (see module docstring). Animated params; one
@@ -95,7 +96,9 @@ def _measure_scene(
         config = dataclasses.replace(config, metallic_reflection=False)
 
     aspect = config.width / config.height
-    geometry = place_on_accelerator(pack_geometry(scene, library))
+    geometry = place_on_accelerator(
+        pack_geometry(scene, library, **(pack_kwargs or {}))
+    )
     params0 = pack_frame_params(scene, aspect)
     spec = frame_param_spec(params0)
 

@@ -28,7 +28,7 @@ def main():
     config = RenderConfig(
         width=1920, height=1080, n_shadow_maps=4, fuse_lighting_sky=True
     )
-    for group in (4, 6, 8):
+    for group in (8, 12, 16):
         scene, library = bench._flagship_scene()
         t0 = time.perf_counter()
         ms = bench._measure_scene(
