@@ -239,7 +239,7 @@ def main() -> None:
                 np.asarray(eulers_from_forward(target - eye))
             )
             extra["dense_254k_tris_ms"] = round(
-                _measure_scene(dense, dlib, config, frames=8), 3
+                _measure_scene(dense, dlib, config, frames=16), 3
             )
     except Exception as e:
         extra["dense_error"] = f"{type(e).__name__}: {str(e)[:80]}"
@@ -257,7 +257,7 @@ def main() -> None:
                 np.asarray(eulers_from_forward(target - eye))
             )
             extra["chess_14k_tris_ms"] = round(
-                _measure_scene(chess, chess_lib, config, frames=8), 3
+                _measure_scene(chess, chess_lib, config, frames=16), 3
             )
     except Exception as e:
         extra["chess_error"] = f"{type(e).__name__}: {str(e)[:80]}"

@@ -124,7 +124,9 @@ _PCF_PAD = 8  # border texels (clamp-to-border 0) + window alignment slack
 _PCF_WINDOW_MAX_DIM = 2048  # windowed-segment table is O(dim^2 * 16)
 
 
-def sample_shadow_map(shadow_map, coord, dx, dy, bitmask=False) -> jnp.ndarray:
+def sample_shadow_map(
+    shadow_map, coord, dx, dy, bitmask=False, f16=False
+) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
     clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
 
@@ -142,7 +144,13 @@ def sample_shadow_map(shadow_map, coord, dx, dy, bitmask=False) -> jnp.ndarray:
     Maps above 2048^2 use the direct per-texel form instead: the segment
     table costs 16 x dim^2 floats (2.2 GB per light at 4096^2 — measured
     to crash the platform compiler and OOM at 8192^2), while 25 single
-    gathers need no side table. Identical results either way."""
+    gathers need no side table. Identical results either way.
+
+    ``f16=True`` stores the segment table in float16 (occluder depths
+    round to ~5e-4 relative before the reverse-Z compare; taps whose
+    occluder-receiver gap is below that can flip). Storage-precision-only
+    fast mode, same shape as the skyview-quad f16 win; the quality bound
+    is pinned by tests/test_lighting.py::test_pcf_f16_close."""
     size = shadow_map.shape[-1]
     if size > _PCF_WINDOW_MAX_DIM:
         return _sample_shadow_map_naive(shadow_map, coord, dx, dy)
@@ -158,6 +166,10 @@ def sample_shadow_map(shadow_map, coord, dx, dy, bitmask=False) -> jnp.ndarray:
     padded = padded.at[:, pad : pad + size].set(shadow_map)
     seg_idx = (jnp.arange(n_w) * 8)[:, None] + jnp.arange(16)[None, :]
     windows = padded[:, seg_idx].reshape(size * n_w, 16)  # (size*n_w, 16)
+    if f16:
+        # f16 rows flow through the gather AND the select tree (half the
+        # bytes in both); each selected tap widens to f32 for the compare.
+        windows = windows.astype(jnp.float16)
 
     base = jnp.floor(u * size).astype(jnp.int32)
     start = base - 3 + pad  # leftmost texel any tap can touch (padded x)
@@ -212,7 +224,8 @@ def sample_shadow_map(shadow_map, coord, dx, dy, bitmask=False) -> jnp.ndarray:
             ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
             inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
             c = jnp.clip(ix + pad - 8 * w, 0, 15)  # tap channel in segment
-            occ_depth = jnp.where(inside, select16(row, c), 0.0)
+            tap = select16(row, c).astype(jnp.float32)
+            occ_depth = jnp.where(inside, tap, 0.0)
             occluded += jnp.where(
                 (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
             )
@@ -266,6 +279,7 @@ def deferred_lighting(
     shadow_maps: jnp.ndarray,  # (D + S, dim, dim) f32 depth
     unroll: bool = False,
     pcf_bitmask: bool = False,  # PCF tap extraction variant (sample_shadow_map)
+    pcf_f16: bool = False,  # f16 PCF segment storage (sample_shadow_map)
 ) -> jnp.ndarray:
     """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
 
@@ -299,7 +313,9 @@ def deferred_lighting(
         coord, dx, dy = compute_shadow_frame(
             light_pv, material.position, material.normal
         )
-        shadow = sample_shadow_map(shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask)
+        shadow = sample_shadow_map(
+            shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16
+        )
         light_dir = _normalize(-light.forward[:3])[None, None, :]
         spectral = (light.color[:3] * light.strength)[
             None, None, :
@@ -349,7 +365,14 @@ def deferred_lighting(
         coord, dx, dy = compute_shadow_frame(
             light_pv, material.position, material.normal
         )
-        shadow = sample_shadow_map(shadow_maps[n_dir + j], coord, dx, dy, bitmask=pcf_bitmask)
+        shadow = sample_shadow_map(
+            shadow_maps[n_dir + j],
+            coord,
+            dx,
+            dy,
+            bitmask=pcf_bitmask,
+            f16=pcf_f16,
+        )
         light_dir = _normalize(-spot.forward[:3])[None, None, :]
         # quadratic falloff + UV edge softening (lights.comp:73-91)
         dist = jnp.linalg.norm(

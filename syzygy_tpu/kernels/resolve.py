@@ -143,15 +143,16 @@ def _sample_atlas_rect(
 
     if atlas.shape[-1] == 16:  # quad-packed (assets.types.quad_pack_atlas)
         q = atlas[y0r + iy0, x0r + ix0]  # one gather: the 2x2 footprint
+        q = q.astype(jnp.float32)  # no-op for f32 atlases (atlas_f16)
         t00, t10 = q[..., 0:4], q[..., 4:8]
         t01, t11 = q[..., 8:12], q[..., 12:16]
     else:
         ix1 = jnp.where(ix0 + 1 >= w, 0, ix0 + 1)
         iy1 = jnp.where(iy0 + 1 >= h, 0, iy0 + 1)
-        t00 = atlas[y0r + iy0, x0r + ix0]
-        t10 = atlas[y0r + iy0, x0r + ix1]
-        t01 = atlas[y0r + iy1, x0r + ix0]
-        t11 = atlas[y0r + iy1, x0r + ix1]
+        t00 = atlas[y0r + iy0, x0r + ix0].astype(jnp.float32)
+        t10 = atlas[y0r + iy0, x0r + ix1].astype(jnp.float32)
+        t01 = atlas[y0r + iy1, x0r + ix0].astype(jnp.float32)
+        t11 = atlas[y0r + iy1, x0r + ix1].astype(jnp.float32)
     top = t00 * (1.0 - fracx) + t10 * fracx
     bot = t01 * (1.0 - fracx) + t11 * fracx
     return top * (1.0 - fracy) + bot * fracy
@@ -216,6 +217,7 @@ def _sample_atlas_rect_joint(
     ix0 = jnp.mod(fx0.astype(jnp.int32), w)
     iy0 = jnp.mod(fy0.astype(jnp.int32), h)
     q = atlas[y0r + iy0, x0r + ix0]  # (..., 48): the one gather
+    q = q.astype(jnp.float32)  # no-op for f32 atlases (atlas_f16)
 
     def lerp(g):
         t00, t10 = q[..., g : g + 4], q[..., g + 4 : g + 8]

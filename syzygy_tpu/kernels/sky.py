@@ -565,6 +565,8 @@ def sample_aerial_lut(aerial: AerialLUT, uv, dist_mm, t_max_mm: float):
     fs = (s - s0f)[..., None]
 
     q = aerial.packed[(y0 * n_x + x0) * n_s + jnp.maximum(s0, 0)]  # (..., 72)
+    if q.dtype != jnp.float32:
+        q = q.astype(jnp.float32)  # narrow storage, f32 filtering (lut_f16)
 
     def bilin(block):  # block: (..., 36) corner records 00,01,10,11 (9ch)
         top = block[..., 0:9] * (1 - fx) + block[..., 9:18] * fx
@@ -626,6 +628,7 @@ def sky_camera_pass(
     # transmittance from ONE tiny-table gather (RenderConfig.skyview_tseg)
     tseg_rows=None,
     pcf_bitmask: bool = False,  # PCF tap extraction variant (lighting.py)
+    pcf_f16: bool = False,  # f16 PCF segment storage (lighting.py)
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -680,7 +683,9 @@ def sky_camera_pass(
     coord, dx, dy = compute_shadow_frame(
         sun_pv, material.position, material.normal
     )
-    sun_shadow = sample_shadow_map(sun_shadow_map, coord, dx, dy, bitmask=pcf_bitmask)
+    sun_shadow = sample_shadow_map(
+        sun_shadow_map, coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16
+    )
 
     if aerial is not None:
         # geometry rays: froxel volume; environment ground rays: the skyview

@@ -206,6 +206,18 @@ class RenderConfig:
     # per-lane variable shifts lower catastrophically on this TPU); the
     # knob + negative result are kept so it is not re-attempted.
     pcf_bitmask: bool = False
+    # store the PCF segment tables in f16 (kernels/lighting.py::
+    # sample_shadow_map): halves the bytes through both the 5 row gathers
+    # and the select trees. The default frame runs 3 PCF evaluations (sun
+    # in the sky pass, moon + spot in lighting) = 15 of its ~21
+    # gathers/px on these tables, and the in-frame cost is bytes-bound:
+    # measured 215 -> 186 ms/frame (tools/pcf_f16_ab.py BABA, one
+    # session) — ON by default. Storage-precision-only fast mode
+    # (occluder depths round to ~5e-4 relative before the reverse-Z
+    # compare; a tap flips only when the occluder-receiver gap is below
+    # that); quality pinned by tests/test_lighting.py::
+    # test_pcf_f16_{close,frame_close}. False = exact f32 storage.
+    pcf_f16: bool = True
     # store the skyview quad in f16 (sampled values widen back to f32
     # before filtering). The 2048x1024 quad is 100 MB f32 — in the
     # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
@@ -215,6 +227,16 @@ class RenderConfig:
     # tests/test_sky.py::test_skyview_f16_frame_close (frame RMSE <2e-4).
     # False = exact f32 storage (bitwise reference formulas).
     skyview_f16: bool = True
+    # narrow the small per-pixel sky tables (transmittance quad sampling
+    # copy + froxel volume) to f16 the same way (MEASURED LOSS — kept as
+    # a documented negative result): unlike the PCF segment tables
+    # (8.5 MB, bytes-bound in-frame), these live in the row-count-bound
+    # cheap/mid gather tiers, so halving their bytes saves nothing and
+    # the per-frame narrowing casts ADD ~6 ms: 193.9 vs 187.8 ms/frame
+    # (tools/lut2_f16_ab.py BABA, one session). Default OFF; quality
+    # bound (if enabled) pinned by tests/test_sky.py::
+    # test_lut_f16_frame_close.
+    lut_f16: bool = False
     render_atmosphere: bool = True
     debug_lines: bool = False  # wireframe bounds overlay (debuglines.hpp)
     oetf: str = "srgb"  # GammaTransferFunction (editorconfig.hpp:5-9)
@@ -482,8 +504,12 @@ def _stage_geometry(
     return state, vis, gbuffer, shadow_maps
 
 
-@functools.partial(jax.jit, static_argnames=("pcf_bitmask",))
-def _stage_lighting(state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False):
+@functools.partial(
+    jax.jit, static_argnames=("pcf_bitmask", "pcf_f16")
+)
+def _stage_lighting(
+    state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False
+):
     """deferred lighting (lights.comp); scene color clamps like UNORM."""
     lit = deferred_lighting(
         gbuffer,
@@ -495,6 +521,7 @@ def _stage_lighting(state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False):
         state.spot_count,
         shadow_maps,
         pcf_bitmask=pcf_bitmask,
+        pcf_f16=pcf_f16,
     )
     return jnp.clip(lit, 0.0, 1.0)
 
@@ -559,6 +586,25 @@ def _stage_sky(
                 state.atmosphere, t_lut, state.camera, origin_mm, t_max_mm
             )
 
+        # Per-pixel sampling copies (lut_f16): the f32 originals above fed
+        # every build; the camera pass's per-pixel gathers ride half the
+        # bytes. PackedLUT/AerialLUT samplers widen to f32 after the gather.
+        t_lut_px = t_lut
+        if config.lut_f16:
+            from syzygy_tpu.kernels.atmosphere import PackedLUT
+
+            t_lut_px = PackedLUT(
+                t_lut.quad.astype(jnp.float16), t_lut.h, t_lut.w
+            )
+            if aerial is not None:
+                aerial = type(aerial)(
+                    aerial.packed.astype(jnp.float16),
+                    aerial.t_sun0,
+                    aerial.n_y,
+                    aerial.n_x,
+                    aerial.n_s,
+                )
+
         def camera_pass(lit_c, depth_c, gb_c, origin_c):
             return sky_camera_pass(
                 lit_c,
@@ -566,7 +612,7 @@ def _stage_sky(
                 gb_c,
                 state.camera,
                 state.atmosphere,
-                t_lut,
+                t_lut_px,
                 sky_lut,
                 sun,
                 shadow_maps[0],
@@ -579,6 +625,7 @@ def _stage_sky(
                 aerial_t_max=t_max_mm,
                 tseg_rows=tseg_packed,
                 pcf_bitmask=config.pcf_bitmask,
+                pcf_f16=config.pcf_f16,
             )
 
         h, w = lit.shape[0], lit.shape[1]
@@ -630,7 +677,7 @@ def _stage_lighting_sky(
     """Lighting + sky fused into one device program (RenderConfig.
     fuse_lighting_sky): same math, one fewer dispatch per frame."""
     lit = _stage_lighting.__wrapped__(
-        state, gbuffer, shadow_maps, config.pcf_bitmask
+        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16
     )
     return _stage_sky.__wrapped__(
         state, lit, vis_depth, gbuffer, shadow_maps, config, row0
@@ -642,7 +689,9 @@ def _finish_frame(state, vis, gbuffer, shadow_maps, config):
         return _stage_lighting_sky(
             state, vis.depth, gbuffer, shadow_maps, config
         )
-    lit = _stage_lighting(state, gbuffer, shadow_maps, config.pcf_bitmask)
+    lit = _stage_lighting(
+        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16
+    )
     return _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
 
 
@@ -732,7 +781,7 @@ def render_frame_rows(
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
 
     lit = _stage_lighting.__wrapped__(
-        state, gbuffer, shadow_maps, config.pcf_bitmask
+        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16
     )
     encoded = _stage_sky.__wrapped__(
         state, lit, vis.depth, gbuffer, shadow_maps, config, row0

@@ -179,6 +179,7 @@ def pack_geometry(
     quad_pack: bool = True,
     joint_pack: bool = True,
     joint_pack_pad: bool = False,
+    atlas_f16: bool = True,
 ) -> GeometryStatic:
     """Flatten all renderable instances into one padded triangle soup.
 
@@ -200,6 +201,16 @@ def pack_geometry(
     atlas when EVERY material's color/normal/orm textures share
     dimensions (single-mip + quad_pack only), so the resolve samples all
     three maps with one gather instead of three — bitwise-identical.
+    ``atlas_f16`` (default ON) stores the packed atlas (and joint atlas)
+    in float16; the resolve widens gathered texels to f32 before bilinear
+    filtering. Texels are 8-bit-sourced (f16's ~5e-4 relative rounding
+    sits below the 2e-3 quantization already present in linear light),
+    and it halves the bytes through the resolve's dominant gather on
+    large-atlas scenes: chess flagship 224 -> 219 ms/frame
+    (tools/atlas_f16_ab.py BABA, one session) and half the atlas HBM.
+    Closeness pinned by tests/test_resolve.py::test_atlas_f16_frame
+    _close; False = exact f32 storage.
+
     ``joint_pack_pad`` (OPT-IN, off by default) extends this to
     mixed-dimension materials by upsampling the smaller maps to the
     per-axis max dims (``assets.types._upsample_repeat``): exact at fine
@@ -289,6 +300,11 @@ def pack_geometry(
                 joint = joint_pack_atlas(
                     atlas, rects, materials_arr, pad=joint_pack_pad
                 )
+
+    if atlas_f16:
+        atlas = atlas.astype(np.float16)
+        if joint is not None:
+            joint = (joint[0].astype(np.float16), joint[1])
 
     return GeometryStatic(
         positions=jnp.asarray(_pad_rows(positions, v_cap)),

@@ -294,3 +294,78 @@ def test_pcf_bitmask_matches_select_tree():
     a = np.asarray(sample_shadow_map(smap, coord, dx, dy, bitmask=True))
     b = np.asarray(sample_shadow_map(smap, coord, dx, dy, bitmask=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pcf_f16_close():
+    """f16 PCF segment storage vs f32: taps flip only where the
+    occluder-receiver depth gap is below f16 rounding (~5e-4 relative),
+    so the 25-tap average moves by at most a few tap weights and the
+    flip population is tiny."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(7)
+    size = 128
+    smap = jnp.asarray(rng.random((size, size), np.float32))
+    h, w = 48, 96
+    coord = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.random((h, w)),
+                np.ones((h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    dx = jnp.asarray(rng.random((h, w), np.float32))
+    dy = jnp.asarray(rng.random((h, w), np.float32))
+    a = np.asarray(sample_shadow_map(smap, coord, dx, dy, f16=False))
+    b = np.asarray(sample_shadow_map(smap, coord, dx, dy, f16=True))
+    d = np.abs(a - b)
+    # any single pixel moves by whole tap weights (k/25); the population
+    # of flipped taps is bounded by the f16-rounding band of a uniform
+    # depth distribution (~2 * 5e-4), so the mean moves far less
+    assert d.max() <= 3.0 / 25.0 + 1e-6, d.max()
+    assert float(d.mean()) < 5e-3, d.mean()
+
+
+def test_pcf_f16_frame_close():
+    """Whole-frame deviation with pcf_f16=True stays at shadow-rounding
+    scale, far inside the 1e-3 RMSE parity budget."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, pcf_f16=False))
+    )
+    b = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, pcf_f16=True))
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 5e-4, (
+        d.max(),
+        np.sqrt((d**2).mean()),
+    )

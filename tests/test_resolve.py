@@ -418,3 +418,46 @@ def test_joint_pad_atlas_frame_close():
     rmse = float(np.sqrt((d**2).mean()))
     assert rmse < 6e-3, rmse
     assert float(d.max()) < 0.25, d.max()
+
+
+def test_atlas_f16_frame_close():
+    """pack_geometry(atlas_f16=True) vs f32 atlas on the textured chess
+    flagship: whole-frame deviation at storage-precision scale (f16
+    rounding ~5e-4 relative sits below the source textures' 8-bit
+    quantization), far inside the 1e-3 RMSE parity budget."""
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.assets.chess import flagship_scene
+    from syzygy_tpu.scene import pack_frame_params, pack_geometry
+
+    scene, lib = flagship_scene()
+    scene.tick(0.0)
+    eye = np.array([13.0, -8.0, -14.0], np.float32)
+    target = np.array([0.0, -1.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=192, height=108, shadow_dim=256, skyview_width=128,
+        skyview_height=64,
+    )
+    params = pack_frame_params(scene, config.width / config.height)
+    a = np.asarray(
+        render_frame(
+            pack_geometry(scene, lib, atlas_f16=False), params, config
+        )
+    )
+    b = np.asarray(
+        render_frame(
+            pack_geometry(scene, lib, atlas_f16=True), params, config
+        )
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 3e-4, (
+        d.max(),
+        np.sqrt((d**2).mean()),
+    )
+    assert d.max() < 5e-3, d.max()

@@ -373,3 +373,43 @@ def test_transmittance_dims_frame_close():
     d = np.abs(a - b)
     assert float(np.sqrt((d**2).mean())) < 5e-4, (d.max(), np.sqrt((d**2).mean()))
     assert d.max() < 2e-2, d.max()
+
+
+def test_lut_f16_frame_close():
+    """lut_f16 (f16 per-pixel sampling copies of the transmittance quad +
+    froxel volume; all LUT builds still consume the f32 originals) vs
+    exact: whole-frame deviation at storage-precision scale, far inside
+    the parity budget."""
+    import dataclasses
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, lut_f16=False))
+    )
+    b = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, lut_f16=True))
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 3e-4, (
+        d.max(),
+        np.sqrt((d**2).mean()),
+    )
+    assert d.max() < 5e-3, d.max()
