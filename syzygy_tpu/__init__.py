@@ -18,14 +18,19 @@ Layer map (mirrors SURVEY.md §7):
 """
 
 import os as _os
+import sys as _sys
 
 import jax as _jax
 
 # Opt-in CPU platform BEFORE the backend initializes (the axon plugin
 # ignores JAX_PLATFORMS, and `python -m syzygy_tpu.app` imports this
-# package before any flag parsing can run — the app's --cpu re-execs with
-# this variable set).
-if _os.environ.get("SZG_CPU") == "1":
+# package before any flag parsing can run). Honoring a literal `--cpu` in
+# argv here matters for availability, not just convenience: probing the
+# default backend below initializes the tunneled TPU plugin, which HANGS
+# for minutes when the remote worker is down — a `--cpu` run must never
+# touch it. (SZG_CPU=1 is the programmatic form; the app also re-execs
+# with it set for safety.)
+if _os.environ.get("SZG_CPU") == "1" or "--cpu" in _sys.argv:
     _jax.config.update("jax_platforms", "cpu")
 
 # Geometry (4x4 transforms, vertex transforms, LUT math) needs true float32:
@@ -40,7 +45,20 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # costs a ~30 s device->host fetch EACH — tracing a frame took minutes.
 # Jitted computations still run on the accelerator: bulk inputs are committed
 # there explicitly (see syzygy_tpu.runtime.place_on_accelerator).
-if _jax.default_backend() != "cpu":
+# An UNAVAILABLE accelerator backend (wedged tunnel) degrades to CPU-only
+# instead of failing the import — the reference's analog is logging the
+# Vulkan init error and refusing only GPU work, not dying at dlopen.
+try:
+    _backend = _jax.default_backend()
+except RuntimeError as _e:  # backend init failed (e.g. tunnel down)
+    import logging as _logging
+
+    _logging.getLogger("syzygy").warning(
+        "accelerator backend unavailable (%s); CPU-only session", _e
+    )
+    _jax.config.update("jax_platforms", "cpu")
+    _backend = "cpu"
+if _backend != "cpu":
     try:
         _jax.config.update("jax_default_device", _jax.devices("cpu")[0])
     except RuntimeError:  # no CPU platform initialized

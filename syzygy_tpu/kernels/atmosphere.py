@@ -150,10 +150,59 @@ def pack_lut(lut: jnp.ndarray, dtype=None) -> PackedLUT:
     return PackedLUT(quad, h, w)
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedLUTQ8:
+    """u8 block-scaled quad LUT: 16 bytes/row instead of the f16 quad's 24.
+
+    Each row packs its 2x2 bilinear footprint (12 f32 values for a 3ch
+    LUT) as u8 fractions of the ROW'S OWN MAX into 3 uint32 words, plus
+    the f32 scale bitcast into a 4th word; a bilinear sample is still ONE
+    gather. Decode is shift-by-CONSTANT byte extraction (the catastrophic
+    per-lane VARIABLE shifts of the PCF bitmask experiment do not apply).
+    Quantization is blockwise-relative: error <= scale/510 where scale is
+    the local 2x2 max — tight for smooth fields like the skyview LUT
+    (bounded by tests/test_sky.py::test_skyview_q8_frame_close)."""
+
+    def __init__(self, words: jnp.ndarray, h: int, w: int):
+        self.words = words  # (h * w, 4) uint32
+        self.h = h
+        self.w = w
+
+    def tree_flatten(self):
+        return (self.words,), (self.h, self.w)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+def pack_lut_q8(lut: jnp.ndarray) -> PackedLUTQ8:
+    """(H, W, 3) -> :class:`PackedLUTQ8` (once per frame on device)."""
+    assert lut.shape[-1] == 3, lut.shape
+    h, w = lut.shape[0], lut.shape[1]
+    xr = jnp.minimum(jnp.arange(w) + 1, w - 1)
+    yd = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    quad = jnp.concatenate(
+        [lut, lut[:, xr], lut[yd], lut[yd][:, xr]], axis=-1
+    ).reshape(h * w, 12)
+    scale = jnp.max(quad, axis=-1, keepdims=True)  # >= 0 (luminance LUTs)
+    q = jnp.clip(
+        jnp.round(quad / jnp.maximum(scale, 1e-30) * 255.0), 0.0, 255.0
+    ).astype(jnp.uint32)
+    shifts = jnp.array([0, 8, 16, 24], jnp.uint32)
+    packed = jnp.sum(
+        q.reshape(h * w, 3, 4) << shifts[None, None, :], axis=-1
+    )  # (h*w, 3) uint32
+    wscale = jax.lax.bitcast_convert_type(scale[:, 0], jnp.uint32)
+    return PackedLUTQ8(
+        jnp.concatenate([packed, wscale[:, None]], axis=-1), h, w
+    )
+
+
 def sample_lut_bilinear(lut, u, v) -> jnp.ndarray:
     """Bilinear clamp-to-edge sampling (GLSL texture()) of an (H, W, 3)
-    array or a :class:`PackedLUT` (identical results, one gather)."""
-    if isinstance(lut, PackedLUT):
+    array or a :class:`PackedLUT` / :class:`PackedLUTQ8` (one gather)."""
+    if isinstance(lut, (PackedLUT, PackedLUTQ8)):
         h, w = lut.h, lut.w
     else:
         h, w = lut.shape[0], lut.shape[1]
@@ -163,6 +212,21 @@ def sample_lut_bilinear(lut, u, v) -> jnp.ndarray:
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+    if isinstance(lut, PackedLUTQ8):
+        g = lut.words[y0 * w + x0]  # (..., 4) uint32: the one gather
+        scale = jax.lax.bitcast_convert_type(g[..., 3], jnp.float32)
+        scale = (scale * (1.0 / 255.0))[..., None]
+        vals = [
+            ((g[..., j] >> jnp.uint32(8 * b)) & jnp.uint32(255)).astype(
+                jnp.float32
+            )
+            for j in range(3)
+            for b in range(4)
+        ]
+        q = jnp.stack(vals, axis=-1) * scale  # (..., 12) f32
+        top = q[..., 0:3] * (1 - fx) + q[..., 3:6] * fx
+        bot = q[..., 6:9] * (1 - fx) + q[..., 9:12] * fx
+        return top * (1 - fy) + bot * fy
     if isinstance(lut, PackedLUT):
         q = lut.quad[y0 * w + x0]  # (..., 4C): one gather
         if q.dtype != jnp.float32:

@@ -227,6 +227,14 @@ class RenderConfig:
     # tests/test_sky.py::test_skyview_f16_frame_close (frame RMSE <2e-4).
     # False = exact f32 storage (bitwise reference formulas).
     skyview_f16: bool = True
+    # u8 block-scaled skyview quad (kernels/atmosphere.py::PackedLUTQ8):
+    # 16 B/row vs the f16 quad's 24 B on the frame's biggest table (2M
+    # rows; the one bytes-bound big-tier gather left). Takes precedence
+    # over skyview_f16. Quantization is blockwise-relative (u8 fractions
+    # of the 2x2 footprint's own max; error <= local_max/510); quality
+    # pinned by tests/test_sky.py::test_skyview_q8_frame_close. Default
+    # set by device A/B (tools/skyview_q8_ab.py).
+    skyview_q8: bool = False
     # narrow the small per-pixel sky tables (transmittance quad sampling
     # copy + froxel volume) to f16 the same way (MEASURED LOSS — kept as
     # a documented negative result): unlike the PCF segment tables
@@ -572,9 +580,14 @@ def _stage_sky(
                     state.atmosphere, t_lut, origin_mm, config.skyview_height
                 )
             )  # (h, 6): u-invariant rows; ONE tiny-table gather per pixel
-        sky_lut = pack_lut(
-            sky_arr, dtype=jnp.float16 if config.skyview_f16 else None
-        )
+        if config.skyview_q8:
+            from syzygy_tpu.kernels.atmosphere import pack_lut_q8
+
+            sky_lut = pack_lut_q8(sky_arr)
+        else:
+            sky_lut = pack_lut(
+                sky_arr, dtype=jnp.float16 if config.skyview_f16 else None
+            )
         sun = jax.tree.map(lambda x: x[0], state.directional_lights)
 
         aerial = None

@@ -413,3 +413,80 @@ def test_lut_f16_frame_close():
         np.sqrt((d**2).mean()),
     )
     assert d.max() < 5e-3, d.max()
+
+
+def test_skyview_q8_frame_close():
+    """skyview_q8 (u8 block-scaled quad, one u32[4] gather) vs exact f32
+    storage: blockwise-relative quantization of a smooth luminance field
+    stays far inside the parity budget at frame level."""
+    import dataclasses
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(
+            geo, params,
+            dataclasses.replace(config, skyview_f16=False, skyview_q8=False),
+        )
+    )
+    b = np.asarray(
+        render_frame(
+            geo, params, dataclasses.replace(config, skyview_q8=True)
+        )
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 5e-4, (
+        d.max(),
+        np.sqrt((d**2).mean()),
+    )
+    assert d.max() < 1e-2, d.max()
+
+
+def test_pack_lut_q8_roundtrip():
+    """PackedLUTQ8 decode reproduces each stored value to within
+    local_max/510, and exact zeros stay exact."""
+    from syzygy_tpu.kernels.atmosphere import (
+        pack_lut_q8,
+        sample_lut_bilinear,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 16, 32
+    lut = jnp.asarray(rng.random((h, w, 3), np.float32) ** 3)
+    lut = lut.at[0].set(0.0)  # a zero row must decode to exact zero
+    q8 = pack_lut_q8(lut)
+    # sample exactly at texel centers: bilinear weights collapse to the
+    # stored texel, so the error is pure quantization
+    us = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    vs = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    uu, vv = jnp.meshgrid(us, vs)
+    got = np.asarray(sample_lut_bilinear(q8, uu, vv))
+    ref = np.asarray(lut)
+    # the quantization scale is the 2x2 FOOTPRINT's max (12 values:
+    # this texel + right/down/diag neighbors, edge-clamped)
+    xr = np.minimum(np.arange(w) + 1, w - 1)
+    yd = np.minimum(np.arange(h) + 1, h - 1)
+    quad_max = np.stack(
+        [ref, ref[:, xr], ref[yd], ref[yd][:, xr]], axis=0
+    ).max(axis=(0, -1))[..., None]
+    assert np.all(np.abs(got - ref) <= quad_max / 510.0 + 1e-7), np.abs(
+        got - ref
+    ).max()
+    assert np.all(got[0] == 0.0)
