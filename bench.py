@@ -95,6 +95,13 @@ def _measure_scene(
         # bounce multiplies to exactly 0 -> skipping is bitwise-identical
         config = dataclasses.replace(config, metallic_reflection=False)
 
+    # Refuse to "benchmark" on CPU: if the tunneled backend died between
+    # the health gate and this import, the package degrades the session to
+    # CPU-only (see syzygy_tpu/__init__) — that must be a loud failure
+    # here, not a silently absurd number.
+    if accelerator_device().platform == "cpu":
+        raise RuntimeError("accelerator backend unavailable (CPU-only session)")
+
     aspect = config.width / config.height
     geometry = place_on_accelerator(
         pack_geometry(scene, library, **(pack_kwargs or {}))

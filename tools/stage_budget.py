@@ -32,6 +32,13 @@ def main():
     if smoke:
         jax.config.update("jax_platforms", "cpu")
 
+    # Health-gate BEFORE importing syzygy_tpu: a down tunnel at package
+    # import degrades the session to CPU-only (syzygy_tpu/__init__), which
+    # would silently turn this into a CPU "budget".
+    if not smoke and not wait_healthy():
+        print("DEVICE UNAVAILABLE", flush=True)
+        sys.exit(1)
+
     import jax.numpy as jnp
 
     from syzygy_tpu.assets import (
@@ -54,10 +61,6 @@ def main():
         pack_frame_params,
         pack_geometry,
     )
-
-    if not smoke and not wait_healthy():
-        print("DEVICE UNAVAILABLE", flush=True)
-        sys.exit(1)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     W, H = (256, 128) if smoke else (1920, 1080)
