@@ -232,9 +232,10 @@ class RenderConfig:
     # rows; the one bytes-bound big-tier gather left). Takes precedence
     # over skyview_f16. Quantization is blockwise-relative (u8 fractions
     # of the 2x2 footprint's own max; error <= local_max/510); quality
-    # pinned by tests/test_sky.py::test_skyview_q8_frame_close. Default
-    # set by device A/B (tools/skyview_q8_ab.py).
-    skyview_q8: bool = False
+    # pinned by tests/test_sky.py::test_skyview_q8_frame_close. Default ON
+    # by device A/B (tools/skyview_q8_ab.py BABA: 189.2/188.9 ms/frame q8
+    # vs 192.7/190.5 f16 — a small consistent win, plus half the HBM).
+    skyview_q8: bool = True
     # narrow the small per-pixel sky tables (transmittance quad sampling
     # copy + froxel volume) to f16 the same way (MEASURED LOSS — kept as
     # a documented negative result): unlike the PCF segment tables
