@@ -125,7 +125,7 @@ _PCF_WINDOW_MAX_DIM = 2048  # windowed-segment table is O(dim^2 * 16)
 
 
 def sample_shadow_map(
-    shadow_map, coord, dx, dy, bitmask=False, f16=False
+    shadow_map, coord, dx, dy, bitmask=False, f16=False, q8=False
 ) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
     clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
@@ -150,7 +150,22 @@ def sample_shadow_map(
     round to ~5e-4 relative before the reverse-Z compare; taps whose
     occluder-receiver gap is below that can flip). Storage-precision-only
     fast mode, same shape as the skyview-quad f16 win; the quality bound
-    is pinned by tests/test_lighting.py::test_pcf_f16_close."""
+    is pinned by tests/test_lighting.py::test_pcf_f16_close.
+
+    ``q8=True`` (takes precedence over ``f16``) block-quantizes each
+    segment: 16 u8 taps relative to the segment's own [min, max] depth
+    range packed into 4 uint32 words, plus the f16 min/step pair packed
+    into a 5th word — 20 bytes/row vs f16's 32 on the frame's hottest
+    tables (the PCF rows are 15 of its ~21 gathers/px, measured
+    bytes-bound: tools/pcf_f16_ab.py). All byte extraction is by CONSTANT
+    shifts (the catastrophic per-lane variable shifts of the bitmask
+    experiment do not apply); the select tree runs 2 levels on uint32
+    words + 2 levels on extracted bytes. Error per tap <= segment depth
+    range / 510 (+ f16 rounding of min/step): exactly 0-valued texels
+    (map border / never-written) decode to exactly 0, so the
+    ``occ > 0`` border test is preserved; flat segments decode near-
+    exactly. Quality pinned by tests/test_lighting.py::
+    test_pcf_q8_{close,frame_close}."""
     size = shadow_map.shape[-1]
     if size > _PCF_WINDOW_MAX_DIM:
         return _sample_shadow_map_naive(shadow_map, coord, dx, dy)
@@ -166,6 +181,10 @@ def sample_shadow_map(
     padded = padded.at[:, pad : pad + size].set(shadow_map)
     seg_idx = (jnp.arange(n_w) * 8)[:, None] + jnp.arange(16)[None, :]
     windows = padded[:, seg_idx].reshape(size * n_w, 16)  # (size*n_w, 16)
+    if q8:
+        return _pcf_q8(
+            windows, size, n_w, pad, frag_depth, u, v, du, dv
+        )
     if f16:
         # f16 rows flow through the gather AND the select tree (half the
         # bytes in both); each selected tap widens to f32 for the compare.
@@ -232,6 +251,79 @@ def sample_shadow_map(
     return 1.0 - occluded / 25.0
 
 
+def _pcf_q8(windows, size, n_w, pad, frag_depth, u, v, du, dv) -> jnp.ndarray:
+    """u8 block-scaled PCF segment path (see ``sample_shadow_map`` q8 doc).
+
+    Row layout (5 uint32 = 20 B): words[0..3] hold the 16 taps as u8
+    fractions of the segment's own [min, max] depth range (tap j lives in
+    word j>>2, byte j&3); word 4 packs the f16 min (low half) and f16
+    step = range/255 (high half). Quantization runs on device per frame —
+    elementwise VPU work, free at this scale (tools/layout_probe.py)."""
+    lo = jnp.min(windows, axis=-1, keepdims=True)
+    hi = jnp.max(windows, axis=-1, keepdims=True)
+    # quantize against the f16-ROUNDED decode params so the u8 grid and
+    # the decode grid agree; exact zeros stay exact (f16(0) == 0).
+    lo16 = lo.astype(jnp.float16)
+    step16 = ((hi - lo) * (1.0 / 255.0)).astype(jnp.float16)
+    step = jnp.maximum(step16.astype(jnp.float32), 1e-30)
+    q = jnp.clip(
+        jnp.round((windows - lo16.astype(jnp.float32)) / step), 0.0, 255.0
+    ).astype(jnp.uint32)
+    shifts = jnp.array([0, 8, 16, 24], jnp.uint32)
+    words = jnp.sum(
+        q.reshape(-1, 4, 4) << shifts[None, None, :], axis=-1
+    )  # (R, 4) uint32
+    meta = jax.lax.bitcast_convert_type(lo16[:, 0], jnp.uint16).astype(
+        jnp.uint32
+    ) | (
+        jax.lax.bitcast_convert_type(step16[:, 0], jnp.uint16).astype(
+            jnp.uint32
+        )
+        << jnp.uint32(16)
+    )
+    rows = jnp.concatenate([words, meta[:, None]], axis=-1)  # (R, 5)
+
+    base = jnp.floor(u * size).astype(jnp.int32)
+    start = base - 3 + pad  # leftmost texel any tap can touch (padded x)
+    w = jnp.clip(jnp.floor_divide(start, 8), 0, n_w - 1)
+
+    def tap_byte(g, c):
+        """taps[c] from the 4 packed words: 2 select levels on uint32
+        words (c>>2), then CONSTANT byte shifts + 2 select levels (c&3).
+        No per-lane variable shift anywhere (the bitmask lesson)."""
+        r = jnp.where((c & 8)[..., None] != 0, g[..., 2:4], g[..., 0:2])
+        word = jnp.where((c & 4) != 0, r[..., 1], r[..., 0])
+        b01 = jnp.where((c & 1) != 0, word >> jnp.uint32(8), word)
+        b23 = jnp.where(
+            (c & 1) != 0, word >> jnp.uint32(24), word >> jnp.uint32(16)
+        )
+        return jnp.where((c & 2) != 0, b23, b01) & jnp.uint32(255)
+
+    occluded = jnp.zeros_like(frag_depth)
+    for oy in range(-2, 3):
+        iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, size - 1)
+        g = rows[iyc * n_w + w]  # (..., 5) uint32: ONE gather per tap row
+        meta_g = g[..., 4]
+        lo_g = jax.lax.bitcast_convert_type(
+            (meta_g & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        st_g = jax.lax.bitcast_convert_type(
+            (meta_g >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        iy_in = (iy >= 0) & (iy < size)
+        for ox in range(-2, 3):
+            ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
+            inside = iy_in & (ix >= 0) & (ix < size)
+            c = jnp.clip(ix + pad - 8 * w, 0, 15)  # tap channel in segment
+            occ = lo_g + tap_byte(g[..., :4], c).astype(jnp.float32) * st_g
+            occ_depth = jnp.where(inside, occ, 0.0)
+            occluded += jnp.where(
+                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
+            )
+    return 1.0 - occluded / 25.0
+
+
 def _sample_shadow_map_naive(shadow_map, coord, dx, dy) -> jnp.ndarray:
     """Direct per-texel 5x5 PCF (``shadowmap.glinl:32-63`` 1:1): 25 single
     gathers, no side table — the large-map path (see sample_shadow_map).
@@ -280,6 +372,7 @@ def deferred_lighting(
     unroll: bool = False,
     pcf_bitmask: bool = False,  # PCF tap extraction variant (sample_shadow_map)
     pcf_f16: bool = False,  # f16 PCF segment storage (sample_shadow_map)
+    pcf_q8: bool = False,  # u8 block-scaled PCF segments (sample_shadow_map)
 ) -> jnp.ndarray:
     """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
 
@@ -314,7 +407,7 @@ def deferred_lighting(
             light_pv, material.position, material.normal
         )
         shadow = sample_shadow_map(
-            shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16
+            shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16, q8=pcf_q8
         )
         light_dir = _normalize(-light.forward[:3])[None, None, :]
         spectral = (light.color[:3] * light.strength)[
@@ -372,6 +465,7 @@ def deferred_lighting(
             dy,
             bitmask=pcf_bitmask,
             f16=pcf_f16,
+            q8=pcf_q8,
         )
         light_dir = _normalize(-spot.forward[:3])[None, None, :]
         # quadratic falloff + UV edge softening (lights.comp:73-91)

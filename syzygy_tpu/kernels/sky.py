@@ -629,6 +629,7 @@ def sky_camera_pass(
     tseg_rows=None,
     pcf_bitmask: bool = False,  # PCF tap extraction variant (lighting.py)
     pcf_f16: bool = False,  # f16 PCF segment storage (lighting.py)
+    pcf_q8: bool = False,  # u8 block-scaled PCF segments (lighting.py)
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -684,7 +685,7 @@ def sky_camera_pass(
         sun_pv, material.position, material.normal
     )
     sun_shadow = sample_shadow_map(
-        sun_shadow_map, coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16
+        sun_shadow_map, coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16, q8=pcf_q8
     )
 
     if aerial is not None:

@@ -187,6 +187,13 @@ class RenderConfig:
     # light with NEGATIVE bias. Defaults 0 keep rasters bitwise unchanged.
     shadow_bias_constant: float = 0.0
     shadow_bias_slope: float = 0.0
+    # skyview LUT dims; reference 2048x1024 (skyview.cpp:175). Smaller
+    # LUTs are quality-viable (tools/skyview_dims_probe.py: even 768x384
+    # lands at frame RMSE 2.6e-4 vs the 1e-3 budget) but DON'T pay on
+    # device once storage is q8 (tools/skyview_dims_ab.py BABA:
+    # 187.7-188.5 ms at 1024x512/768x384 vs 189.4 at reference dims —
+    # the gather is sample-count-bound, not bytes-bound, past q8). The
+    # default stays at reference parity.
     skyview_width: int = 2048  # skyview.cpp:175
     skyview_height: int = 1024
     # transmittance LUT dims; reference 512x128 (common.glinl:13). The
@@ -218,6 +225,17 @@ class RenderConfig:
     # that); quality pinned by tests/test_lighting.py::
     # test_pcf_f16_{close,frame_close}. False = exact f32 storage.
     pcf_f16: bool = True
+    # u8 block-scaled PCF segment tables (takes precedence over pcf_f16):
+    # 20 B/row vs f16's 32 through the frame's 15 hottest gathers/px,
+    # taps quantized to u8 fractions of each segment's own depth range
+    # (error <= range/510; exact zeros stay exact so the border test is
+    # preserved). Quality pinned by tests/test_lighting.py::
+    # test_pcf_q8_{close,frame_close}. MEASURED LOSS on device (tools/
+    # pcf_q8_ab.py BABA: 195.3/192.2 vs f16's 190.1/190.3 ms/frame): past
+    # f16 the PCF gathers are sample-count-bound, so the 12 B/row saved
+    # no longer pays for the byte-extract + extra select levels. Kept as
+    # a documented negative result; default OFF.
+    pcf_q8: bool = False
     # store the skyview quad in f16 (sampled values widen back to f32
     # before filtering). The 2048x1024 quad is 100 MB f32 — in the
     # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
@@ -514,10 +532,11 @@ def _stage_geometry(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pcf_bitmask", "pcf_f16")
+    jax.jit, static_argnames=("pcf_bitmask", "pcf_f16", "pcf_q8")
 )
 def _stage_lighting(
-    state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False
+    state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False,
+    pcf_q8=False,
 ):
     """deferred lighting (lights.comp); scene color clamps like UNORM."""
     lit = deferred_lighting(
@@ -531,6 +550,7 @@ def _stage_lighting(
         shadow_maps,
         pcf_bitmask=pcf_bitmask,
         pcf_f16=pcf_f16,
+        pcf_q8=pcf_q8,
     )
     return jnp.clip(lit, 0.0, 1.0)
 
@@ -640,6 +660,7 @@ def _stage_sky(
                 tseg_rows=tseg_packed,
                 pcf_bitmask=config.pcf_bitmask,
                 pcf_f16=config.pcf_f16,
+                pcf_q8=config.pcf_q8,
             )
 
         h, w = lit.shape[0], lit.shape[1]
@@ -691,7 +712,8 @@ def _stage_lighting_sky(
     """Lighting + sky fused into one device program (RenderConfig.
     fuse_lighting_sky): same math, one fewer dispatch per frame."""
     lit = _stage_lighting.__wrapped__(
-        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16
+        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
+        config.pcf_q8,
     )
     return _stage_sky.__wrapped__(
         state, lit, vis_depth, gbuffer, shadow_maps, config, row0
@@ -704,7 +726,8 @@ def _finish_frame(state, vis, gbuffer, shadow_maps, config):
             state, vis.depth, gbuffer, shadow_maps, config
         )
     lit = _stage_lighting(
-        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16
+        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
+        config.pcf_q8,
     )
     return _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
 
@@ -795,7 +818,8 @@ def render_frame_rows(
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
 
     lit = _stage_lighting.__wrapped__(
-        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16
+        state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
+        config.pcf_q8,
     )
     encoded = _stage_sky.__wrapped__(
         state, lit, vis.depth, gbuffer, shadow_maps, config, row0

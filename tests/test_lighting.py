@@ -369,3 +369,108 @@ def test_pcf_f16_frame_close():
         d.max(),
         np.sqrt((d**2).mean()),
     )
+
+
+def test_pcf_q8_close():
+    """u8 block-scaled PCF segments vs exact f32: a RANDOM map is the
+    adversarial case (every segment spans ~the full depth range, so the
+    per-tap quantization band is ~range/510 ~ 2e-3); taps flip only
+    inside that band, so the flip population stays small even here.
+    Real shadow maps are piecewise smooth (tiny per-segment ranges) —
+    the frame-level bound below is the parity gate."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(11)
+    size = 128
+    smap = jnp.asarray(rng.random((size, size), np.float32))
+    h, w = 48, 96
+    coord = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.random((h, w)),
+                np.ones((h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    dx = jnp.asarray(rng.random((h, w), np.float32))
+    dy = jnp.asarray(rng.random((h, w), np.float32))
+    a = np.asarray(sample_shadow_map(smap, coord, dx, dy))
+    b = np.asarray(sample_shadow_map(smap, coord, dx, dy, q8=True))
+    d = np.abs(a - b)
+    assert d.max() <= 6.0 / 25.0 + 1e-6, d.max()
+    assert float(d.mean()) < 2e-2, d.mean()
+
+
+def test_pcf_q8_zero_map_exact():
+    """An all-zero (cleared / no-caster) map must behave exactly like the
+    f32 path: zeros decode to exactly 0, the border test stays false, and
+    the factor is 1.0 everywhere."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(5)
+    size = 64
+    smap = jnp.zeros((size, size), jnp.float32)
+    h, w = 16, 32
+    coord = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.uniform(-0.2, 1.2, (h, w)),
+                rng.random((h, w)),
+                np.ones((h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    dx = jnp.asarray(rng.random((h, w), np.float32))
+    dy = jnp.asarray(rng.random((h, w), np.float32))
+    out = np.asarray(sample_shadow_map(smap, coord, dx, dy, q8=True))
+    np.testing.assert_array_equal(out, np.ones((h, w), np.float32))
+
+
+def test_pcf_q8_frame_close():
+    """Whole-frame deviation with pcf_q8=True: real shadow maps are
+    piecewise smooth, so per-segment depth ranges (the q8 error scale)
+    are tiny except at silhouettes; the frame stays inside the 1e-3 RMSE
+    parity budget."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, pcf_f16=False))
+    )
+    b = np.asarray(
+        render_frame(geo, params, dataclasses.replace(config, pcf_q8=True))
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 1e-3, (
+        d.max(),
+        np.sqrt((d**2).mean()),
+    )

@@ -68,10 +68,13 @@ def main():
     config = RenderConfig(
         width=1920, height=1080, n_shadow_maps=4, fuse_lighting_sky=True
     )
-    for group in (8, 16, 8, 16):
+    # r5 follow-up: depth 8 vs 16 was a wash at ~500 ms/frame while the
+    # stage sum is ~194-300 ms — if SHALLOW queues (1/2/4) are faster, the
+    # gap is in-flight HBM pressure (allocator backoff), not compute.
+    for group in (1, 2, 4, 8, 2):
         scene, library = _dense()
         ms = _measure_scene(
-            scene, library, config, frames=group * 2, group=group
+            scene, library, config, frames=max(8, group * 2), group=group
         )
         print(f"dense depth {group}: {ms:.1f} ms/frame", flush=True)
 
