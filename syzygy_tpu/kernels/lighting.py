@@ -373,6 +373,14 @@ def deferred_lighting(
     pcf_bitmask: bool = False,  # PCF tap extraction variant (sample_shadow_map)
     pcf_f16: bool = False,  # f16 PCF segment storage (sample_shadow_map)
     pcf_q8: bool = False,  # u8 block-scaled PCF segments (sample_shadow_map)
+    shadowless_eps: float = 0.0,  # see RenderConfig.shadowless_strength_eps
+    # (H, W) precomputed sun PCF visibility (RenderConfig.share_sun_pcf):
+    # directional light 0's sample_shadow_map result, evaluated once by the
+    # caller and shared with the sky pass (kernels/sky.py samples the
+    # identical frame). When set, light 0's loop iteration reuses it via
+    # lax.cond — identical math, minus one full 5-row PCF (differences
+    # are XLA reassociation noise; see RenderConfig.share_sun_pcf).
+    sun_shadow=None,
 ) -> jnp.ndarray:
     """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
 
@@ -382,6 +390,26 @@ def deferred_lighting(
     by ``lax.cond`` — needed for reverse-mode differentiation (the default
     dynamic-trip-count loops lower to while_loop, which has no VJP) at the
     cost of evaluating all 18 slots.
+
+    ``shadowless_eps > 0`` is the dim-directional fast mode: a directional
+    light whose peak spectral intensity max|color| * |strength| falls below
+    ``eps`` TIMES the frame's total daylight-weighted directional intensity
+    (every directional's intensity scaled by its own above-horizon factor
+    clip(dot(WORLD_UP, dir_to_light), 0, 1) — this INCLUDES the sky-handled
+    sun, which is the illumination the skipped shadows hide under)
+    contributes UNSHADOWED (``lax.cond`` skips its whole 5x5 PCF — the
+    stage's dominant cost). Motivation: the reference's clamp quirk
+    (``scene.cpp:603-610``) keeps the moon active in full daylight at peak
+    intensity 0.012 (0.02 strength x 0.6 color), paying a full PCF for a
+    ~1% contribution. The RELATIVE gate is essential: the moon's intensity
+    never exceeds 0.012, but at night it is the ONLY light — the total
+    collapses to the moon itself, the ratio is 1, and its shadows render
+    exactly (tests/test_lighting.py::test_shadowless_eps_keeps_night_moon_
+    shadowed). Deviation is bounded by the skipped light's intensity in
+    its occluded pixels, which daylight keeps off the OETF's steep dark
+    segment (closeness-pinned by test_shadowless_eps_frame_close +
+    tools/shadowless_probe.py); 0.0 (default) is exact. Spot lights are
+    never gated (local falloff; no daylight notion).
     """
     material = convert_pbr(gbuffer)
     lit_mask = gbuffer.diffuse[..., 3:4] >= 1.0
@@ -400,15 +428,52 @@ def deferred_lighting(
     # executes exactly `count` iterations.
     n_dir = directional.strength.shape[0]
 
+    if shadowless_eps > 0.0:
+        from syzygy_tpu.math.geometry import WORLD_UP
+
+        dir_intensity = jnp.max(
+            jnp.abs(directional.color[:, :3]), axis=-1
+        ) * jnp.abs(directional.strength)
+        daylight = jnp.clip(
+            jnp.sum(-directional.forward[:, :3] * WORLD_UP, axis=-1),
+            0.0,
+            1.0,
+        )
+        total_daylight = jnp.sum(dir_intensity * daylight)
+        shadowless_cut = shadowless_eps * total_daylight
+    else:
+        shadowless_cut = None
+
     def dir_body(i, total):
         light = jax.tree.map(lambda x: x[i], directional)
         light_pv = light.projection @ light.view
         coord, dx, dy = compute_shadow_frame(
             light_pv, material.position, material.normal
         )
-        shadow = sample_shadow_map(
-            shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16, q8=pcf_q8
-        )
+        def pcf():
+            def sample():
+                return sample_shadow_map(
+                    shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask,
+                    f16=pcf_f16, q8=pcf_q8,
+                )
+
+            if sun_shadow is None:
+                return sample()
+            # light 0 (the sun): the caller already evaluated this exact
+            # PCF (shared with the sky pass) — skip the 5 row gathers.
+            return jax.lax.cond(i == 0, lambda: sun_shadow, sample)
+
+        if shadowless_cut is not None:
+            intensity = jnp.max(jnp.abs(light.color[:3])) * jnp.abs(
+                light.strength
+            )
+            shadow = jax.lax.cond(
+                intensity < shadowless_cut,
+                lambda: jnp.ones_like(coord[..., 2]),
+                pcf,
+            )
+        else:
+            shadow = pcf()
         light_dir = _normalize(-light.forward[:3])[None, None, :]
         spectral = (light.color[:3] * light.strength)[
             None, None, :

@@ -630,6 +630,14 @@ def sky_camera_pass(
     pcf_bitmask: bool = False,  # PCF tap extraction variant (lighting.py)
     pcf_f16: bool = False,  # f16 PCF segment storage (lighting.py)
     pcf_q8: bool = False,  # u8 block-scaled PCF segments (lighting.py)
+    # (H, W) precomputed sun PCF visibility (RenderConfig.share_sun_pcf):
+    # the lighting pass evaluates the IDENTICAL sample_shadow_map(
+    # compute_shadow_frame(sun_pv, material.position, material.normal))
+    # for directional light 0, so the frame can compute it once and pass
+    # it here — the pass's 5-row PCF gathers + select trees (~40 ms at
+    # 1080p) drop out (identical math; differences are XLA reassociation
+    # noise — see RenderConfig.share_sun_pcf). None = compute locally.
+    sun_shadow=None,
 ) -> jnp.ndarray:
     """``camera.comp`` main (``:303-395``) -> (H, W, 3) tonemapped color."""
     h, w = scene_depth.shape
@@ -679,14 +687,18 @@ def sky_camera_pass(
     dist_surface = jnp.linalg.norm(sky_material.position - pos_grid, axis=-1)
 
     # Sun shadow (branch B input; computed first so the merged environment
-    # sampling below can weight the reflected sun disk).
-    sun_pv = sun_light.projection @ sun_light.view
-    coord, dx, dy = compute_shadow_frame(
-        sun_pv, material.position, material.normal
-    )
-    sun_shadow = sample_shadow_map(
-        sun_shadow_map, coord, dx, dy, bitmask=pcf_bitmask, f16=pcf_f16, q8=pcf_q8
-    )
+    # sampling below can weight the reflected sun disk). When the caller
+    # already evaluated the identical PCF in the lighting pass
+    # (share_sun_pcf), reuse it instead of re-gathering.
+    if sun_shadow is None:
+        sun_pv = sun_light.projection @ sun_light.view
+        coord, dx, dy = compute_shadow_frame(
+            sun_pv, material.position, material.normal
+        )
+        sun_shadow = sample_shadow_map(
+            sun_shadow_map, coord, dx, dy,
+            bitmask=pcf_bitmask, f16=pcf_f16, q8=pcf_q8,
+        )
 
     if aerial is not None:
         # geometry rays: froxel volume; environment ground rays: the skyview

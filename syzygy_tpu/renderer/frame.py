@@ -236,6 +236,41 @@ class RenderConfig:
     # no longer pays for the byte-extract + extra select levels. Kept as
     # a documented negative result; default OFF.
     pcf_q8: bool = False
+    # Dim-directional shadow skip (the midday-moon fast mode): a
+    # directional light whose peak spectral intensity max|color|*|strength|
+    # is below eps RELATIVE to the frame's total daylight-weighted
+    # directional intensity (incl. the sky-handled sun — see
+    # kernels/lighting.py::deferred_lighting) contributes UNSHADOWED
+    # (lax.cond skips its whole 5x5 PCF in the lighting loop) and its
+    # shadow-map raster is skipped. The reference's clamp-transposition
+    # quirk (scene.cpp:603-610) keeps the moon active in full daylight at
+    # peak intensity 0.012, paying a full PCF evaluation (~45 ms at 1080p,
+    # the frame's single biggest line) + a depth raster for a ~1%
+    # contribution; the RELATIVE gate keeps the night moon (the only
+    # light, ratio 1) exactly shadowed. Deviation bounded by
+    # tests/test_lighting.py::test_shadowless_eps_frame_close +
+    # tools/shadowless_probe.py. 0.0 = exact (still skips rasters for
+    # EXACTLY-zero directionals, which is frame-bitwise: their maps are
+    # never sampled). Map 0 (sun) always rasters — the sky pass samples
+    # it. Device BABA (tools/shadowless_ab.py): default scene 174.3/173.6
+    # vs 191.1/189.3 ms/frame; dense field 434.1 vs 501.3.
+    shadowless_strength_eps: float = 0.0
+    # Share ONE sun PCF evaluation between the lighting loop and the sky
+    # camera pass. Both evaluate the IDENTICAL per-pixel chain
+    # sample_shadow_map(compute_shadow_frame(sun_pv, material.position,
+    # material.normal)) — lighting for directional light 0's shadow factor
+    # (lights.comp:52-60), sky for the sun-disk/reflection visibility
+    # (camera.comp:349-356) — but as differently-shaped programs (full
+    # frame vs row chunks) XLA cannot CSE them, so the frame pays the
+    # 5-row PCF (the single biggest per-pixel line, ~40 ms at 1080p)
+    # twice. compute_shadow_frame's spread is analytic per-pixel (no
+    # screen-space derivatives), so hoisting it once and slicing rows into
+    # the sky chunks computes the identical math; frames agree to XLA
+    # fusion/reassociation noise (observed max 1.8e-7, one post-OETF ulp —
+    # the sky row-chunk precedent), far inside every golden/parity bound
+    # (tests/test_lighting.py::test_share_sun_pcf_bitwise). False =
+    # evaluate in both passes.
+    share_sun_pcf: bool = True
     # store the skyview quad in f16 (sampled values widen back to f32
     # before filtering). The 2048x1024 quad is 100 MB f32 — in the
     # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
@@ -397,6 +432,35 @@ def _shadow_pass(
     light_index = jnp.arange(n_maps)
     active = light_index < (N_DIRECTIONAL + state.spot_count)
 
+    # Skip rasters for maps nothing will sample: directional slots whose
+    # light cannot contribute (emits == 0 — frame-bitwise: the lighting
+    # loop skips them too) and, under the shadowless fast mode
+    # (RenderConfig.shadowless_strength_eps), dim directionals that light
+    # unshadowed. Map 0 (sun) always rasters: the sky pass samples it
+    # regardless of the lighting loop (kernels/sky.py sun PCF). Spots are
+    # never gated.
+    d = state.directional_lights
+    dir_int = jnp.max(jnp.abs(d.color[:, :3]), axis=-1) * jnp.abs(d.strength)
+    eps = config.shadowless_strength_eps
+    if eps > 0.0:
+        # same relative gate as deferred_lighting (kernels/lighting.py)
+        from syzygy_tpu.math.geometry import WORLD_UP
+
+        daylight = jnp.clip(
+            jnp.sum(-d.forward[:, :3] * WORLD_UP, axis=-1), 0.0, 1.0
+        )
+        dir_needs = dir_int >= eps * jnp.sum(dir_int * daylight)
+    else:
+        dir_needs = dir_int != 0.0
+    dir_needs = dir_needs.at[0].set(True)
+    needs = jnp.concatenate(
+        [
+            dir_needs[:n_maps],
+            jnp.ones(max(0, n_maps - N_DIRECTIONAL), bool),
+        ]
+    )
+    active = active & needs
+
     tri_valid = geometry.tri_valid & geometry.tri_casts_shadow
 
     # Gather world-space triangle corners ONCE; each light only pays a
@@ -457,11 +521,12 @@ def _shadow_pass(
         gathered = jax.lax.all_gather(local, shard_axis)  # (n_dev, per_dev, ...)
         maps = gathered.reshape(n_dev * per_dev, dim, dim)[:n_maps]
     else:
-        n_active = jnp.minimum(
-            N_DIRECTIONAL + state.spot_count, jnp.int32(n_maps)
-        )
+        # Compact to the maps that raster (stable order preserved):
+        # inactive / skipped slots keep the zero map.
+        order = jnp.argsort(~active, stable=True).astype(jnp.int32)
 
-        def raster_one(i, maps):
+        def raster_one(k, maps):
+            i = order[k]
             depth = one_light(pv[i], jnp.bool_(True))
             return jax.lax.dynamic_update_slice(
                 maps, depth[None], (i, 0, 0)
@@ -469,7 +534,7 @@ def _shadow_pass(
 
         maps = jax.lax.fori_loop(
             0,
-            n_active,
+            jnp.sum(active.astype(jnp.int32)),
             raster_one,
             jnp.zeros((n_maps, dim, dim), jnp.float32),
         )
@@ -531,12 +596,55 @@ def _stage_geometry(
     return state, vis, gbuffer, shadow_maps
 
 
+def _sun_pcf(state, gbuffer, shadow_maps, config):
+    """The shared sun PCF visibility (RenderConfig.share_sun_pcf): the
+    exact (H, W) chain both deferred_lighting (light 0) and
+    sky_camera_pass evaluate internally, hoisted so the frame pays its 5
+    row gathers + select trees once."""
+    from syzygy_tpu.kernels.lighting import (
+        compute_shadow_frame,
+        convert_pbr,
+        sample_shadow_map,
+    )
+
+    material = convert_pbr(gbuffer)
+    sun = jax.tree.map(lambda x: x[0], state.directional_lights)
+    coord, dx, dy = compute_shadow_frame(
+        sun.projection @ sun.view, material.position, material.normal
+    )
+    return sample_shadow_map(
+        shadow_maps[0],
+        coord,
+        dx,
+        dy,
+        bitmask=config.pcf_bitmask,
+        f16=config.pcf_f16,
+        q8=config.pcf_q8,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("pcf_bitmask", "pcf_f16", "pcf_q8")
 )
+def _stage_sun_pcf(
+    state, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False, pcf_q8=False
+):
+    """share_sun_pcf in the UNFUSED 3-program frame: the hoisted sun PCF
+    runs as its own chained device program (dispatch is free — r3
+    dispatch_probe) whose (H, W) output feeds both neighbors."""
+    cfg = dataclasses.replace(
+        RenderConfig(), pcf_bitmask=pcf_bitmask, pcf_f16=pcf_f16, pcf_q8=pcf_q8
+    )
+    return _sun_pcf(state, gbuffer, shadow_maps, cfg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pcf_bitmask", "pcf_f16", "pcf_q8", "shadowless_eps"),
+)
 def _stage_lighting(
     state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False,
-    pcf_q8=False,
+    pcf_q8=False, shadowless_eps=0.0, sun_shadow=None,
 ):
     """deferred lighting (lights.comp); scene color clamps like UNORM."""
     lit = deferred_lighting(
@@ -551,6 +659,8 @@ def _stage_lighting(
         pcf_bitmask=pcf_bitmask,
         pcf_f16=pcf_f16,
         pcf_q8=pcf_q8,
+        shadowless_eps=shadowless_eps,
+        sun_shadow=sun_shadow,
     )
     return jnp.clip(lit, 0.0, 1.0)
 
@@ -564,6 +674,7 @@ def _stage_sky(
     shadow_maps,
     config: RenderConfig,
     row0: int = 0,
+    sun_shadow=None,
 ):
     """atmosphere LUTs + per-pixel sky pass + OETF."""
     if config.render_atmosphere:
@@ -639,7 +750,7 @@ def _stage_sky(
                     aerial.n_s,
                 )
 
-        def camera_pass(lit_c, depth_c, gb_c, origin_c):
+        def camera_pass(lit_c, depth_c, gb_c, origin_c, sun_shadow_c):
             return sky_camera_pass(
                 lit_c,
                 depth_c,
@@ -661,6 +772,7 @@ def _stage_sky(
                 pcf_bitmask=config.pcf_bitmask,
                 pcf_f16=config.pcf_f16,
                 pcf_q8=config.pcf_q8,
+                sun_shadow=sun_shadow_c,
             )
 
         h, w = lit.shape[0], lit.shape[1]
@@ -673,11 +785,12 @@ def _stage_sky(
                 return camera_pass(
                     sl(lit), sl(vis_depth), jax.tree.map(sl, gbuffer),
                     row0 + i * rows,
+                    None if sun_shadow is None else sl(sun_shadow),
                 )
 
             color = jax.lax.map(one, jnp.arange(n_chunks)).reshape(h, w, 3)
         else:
-            color = camera_pass(lit, vis_depth, gbuffer, row0)
+            color = camera_pass(lit, vis_depth, gbuffer, row0, sun_shadow)
         color = jnp.clip(color, 0.0, 1.0)
     else:
         color = lit
@@ -711,12 +824,15 @@ def _stage_lighting_sky(
 ):
     """Lighting + sky fused into one device program (RenderConfig.
     fuse_lighting_sky): same math, one fewer dispatch per frame."""
+    sun_shadow = None
+    if config.share_sun_pcf and config.render_atmosphere:
+        sun_shadow = _sun_pcf(state, gbuffer, shadow_maps, config)
     lit = _stage_lighting.__wrapped__(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
-        config.pcf_q8,
+        config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
     )
     return _stage_sky.__wrapped__(
-        state, lit, vis_depth, gbuffer, shadow_maps, config, row0
+        state, lit, vis_depth, gbuffer, shadow_maps, config, row0, sun_shadow
     )
 
 
@@ -725,11 +841,19 @@ def _finish_frame(state, vis, gbuffer, shadow_maps, config):
         return _stage_lighting_sky(
             state, vis.depth, gbuffer, shadow_maps, config
         )
+    sun_shadow = None
+    if config.share_sun_pcf and config.render_atmosphere:
+        sun_shadow = _stage_sun_pcf(
+            state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
+            config.pcf_q8,
+        )
     lit = _stage_lighting(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
-        config.pcf_q8,
+        config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
     )
-    return _stage_sky(state, lit, vis.depth, gbuffer, shadow_maps, config)
+    return _stage_sky(
+        state, lit, vis.depth, gbuffer, shadow_maps, config, 0, sun_shadow
+    )
 
 
 def render_frame(
@@ -817,11 +941,14 @@ def render_frame_rows(
     vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
 
+    sun_shadow = None
+    if config.share_sun_pcf and config.render_atmosphere:
+        sun_shadow = _sun_pcf(state, gbuffer, shadow_maps, config)
     lit = _stage_lighting.__wrapped__(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
-        config.pcf_q8,
+        config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
     )
     encoded = _stage_sky.__wrapped__(
-        state, lit, vis.depth, gbuffer, shadow_maps, config, row0
+        state, lit, vis.depth, gbuffer, shadow_maps, config, row0, sun_shadow
     )
     return encoded

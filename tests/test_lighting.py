@@ -474,3 +474,141 @@ def test_pcf_q8_frame_close():
         d.max(),
         np.sqrt((d**2).mean()),
     )
+
+
+def test_shadowless_eps_frame_close():
+    """The dim-directional fast mode (shadowless_strength_eps=0.025, the
+    midday-moon case): deviation exists only in pixels occluded from the
+    0.02-strength moon and stays far inside the 1e-3 RMSE parity budget."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(render_frame(geo, params, config))
+    b = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(config, shadowless_strength_eps=0.025),
+        )
+    )
+    d = np.abs(a - b)
+    assert float(np.sqrt((d**2).mean())) < 1e-3, (
+        d.max(),
+        np.sqrt((d**2).mean()),
+    )
+    assert d.max() < 2e-2, d.max()
+
+
+def test_shadowless_eps_keeps_night_moon_shadowed():
+    """At night the moon is the ONLY light: the RELATIVE gate's total
+    daylight-weighted intensity collapses to the moon itself (ratio 1),
+    so it must stay fully shadowed — frames bitwise-equal with and
+    without the fast mode. (An absolute gate would fail here: the moon's
+    peak intensity never exceeds 0.012.)"""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.85  # night: moon up, sun down
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    from syzygy_tpu.scene import prepare_frame_state
+
+    state = prepare_frame_state(params)
+    d = state.directional_lights
+    # dot(WORLD_UP, to_sun) with y-DOWN: up=(0,-1,0), to_sun=-forward,
+    # so the elevation is +forward_y.
+    sun_up = float(np.asarray(d.forward[0, 1]))
+    assert sun_up < 0.0, sun_up  # genuinely night: sun below the horizon
+    a = np.asarray(render_frame(geo, params, config))
+    b = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(config, shadowless_strength_eps=0.025),
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_share_sun_pcf_bitwise():
+    """share_sun_pcf hoists the one sun PCF evaluation both passes need
+    (lighting's light-0 shadow factor + sky's sun-disk visibility) into a
+    single computation. compute_shadow_frame's spread is analytic
+    per-pixel, so the math is identical; hoisting it across program /
+    lax.map boundaries lets XLA fuse the shadow-coord matmuls differently,
+    so frames agree only to reassociation noise (observed max 1.8e-7 —
+    one ulp post-OETF; same precedent as the sky row-chunk equivalence).
+    Checked in both the fused and the 3-program frame."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    for fuse in (False, True):
+        config = RenderConfig(
+            width=128, height=64, shadow_dim=128, skyview_width=128,
+            skyview_height=64, fuse_lighting_sky=fuse, sky_row_chunks=2,
+        )
+        a = np.asarray(
+            render_frame(
+                geo, params, dataclasses.replace(config, share_sun_pcf=False)
+            )
+        )
+        b = np.asarray(
+            render_frame(
+                geo, params, dataclasses.replace(config, share_sun_pcf=True)
+            )
+        )
+        d = np.abs(a - b)
+        assert d.max() <= 1e-6, (fuse, d.max(), (d > 0).mean())
