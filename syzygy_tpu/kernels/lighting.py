@@ -377,9 +377,12 @@ def deferred_lighting(
     # (H, W) precomputed sun PCF visibility (RenderConfig.share_sun_pcf):
     # directional light 0's sample_shadow_map result, evaluated once by the
     # caller and shared with the sky pass (kernels/sky.py samples the
-    # identical frame). When set, light 0's loop iteration reuses it via
-    # lax.cond — identical math, minus one full 5-row PCF (differences
-    # are XLA reassociation noise; see RenderConfig.share_sun_pcf).
+    # identical frame). When set, light 0's contribution is accumulated
+    # OUTSIDE the directional loop from this buffer (a cond-in-loop
+    # formulation measured SLOWER — the compiler flattens it to a select
+    # that still samples) — identical math, minus one full 5-row PCF
+    # (differences are XLA reassociation noise; see
+    # RenderConfig.share_sun_pcf).
     sun_shadow=None,
 ) -> jnp.ndarray:
     """``deferred/lights.comp`` main loop -> (H, W, 3) linear color.
@@ -397,7 +400,8 @@ def deferred_lighting(
     (every directional's intensity scaled by its own above-horizon factor
     clip(dot(WORLD_UP, dir_to_light), 0, 1) — this INCLUDES the sky-handled
     sun, which is the illumination the skipped shadows hide under)
-    contributes UNSHADOWED (``lax.cond`` skips its whole 5x5 PCF — the
+    contributes UNSHADOWED (a separate PCF-free loop skips its whole 5x5
+    PCF structurally — the
     stage's dominant cost). Motivation: the reference's clamp quirk
     (``scene.cpp:603-610``) keeps the moon active in full daylight at peak
     intensity 0.012 (0.02 strength x 0.6 color), paying a full PCF for a
@@ -444,43 +448,43 @@ def deferred_lighting(
     else:
         shadowless_cut = None
 
-    def dir_body(i, total):
+    # NO lax.cond around PCF work anywhere below: the TPU compiler can
+    # flatten a cond whose branches are same-shaped into a select that
+    # executes BOTH sides, silently un-doing the skip (measured: a
+    # cond(i == 0, reuse_hoisted, sample) formulation was 12 ms/frame
+    # SLOWER than no sharing at all — tools/share_pcf_ab.py). Every skip
+    # is therefore structural: the hoisted sun is accumulated OUTSIDE the
+    # loop, and shadowed vs shadowless lights run in two separate
+    # compacted loops whose bodies contain no sampling alternative.
+    def dir_pcf(i):
         light = jax.tree.map(lambda x: x[i], directional)
-        light_pv = light.projection @ light.view
         coord, dx, dy = compute_shadow_frame(
-            light_pv, material.position, material.normal
+            light.projection @ light.view, material.position, material.normal
         )
-        def pcf():
-            def sample():
-                return sample_shadow_map(
-                    shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask,
-                    f16=pcf_f16, q8=pcf_q8,
-                )
+        return sample_shadow_map(
+            shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask,
+            f16=pcf_f16, q8=pcf_q8,
+        )
 
-            if sun_shadow is None:
-                return sample()
-            # light 0 (the sun): the caller already evaluated this exact
-            # PCF (shared with the sky pass) — skip the 5 row gathers.
-            return jax.lax.cond(i == 0, lambda: sun_shadow, sample)
-
-        if shadowless_cut is not None:
-            intensity = jnp.max(jnp.abs(light.color[:3])) * jnp.abs(
-                light.strength
-            )
-            shadow = jax.lax.cond(
-                intensity < shadowless_cut,
-                lambda: jnp.ones_like(coord[..., 2]),
-                pcf,
-            )
-        else:
-            shadow = pcf()
+    def dir_contribution(i, shadow):
+        light = jax.tree.map(lambda x: x[i], directional)
         light_dir = _normalize(-light.forward[:3])[None, None, :]
         spectral = (light.color[:3] * light.strength)[
             None, None, :
         ] * shadow[..., None]
-        return total + _light_contribution(
-            material, view_dir, light_dir, spectral
-        )
+        return _light_contribution(material, view_dir, light_dir, spectral)
+
+    if shadowless_cut is not None:
+        needs_pcf = dir_intensity >= shadowless_cut  # (n_dir,)
+    else:
+        needs_pcf = None
+
+    def dir_body(i, total):
+        shadow = dir_pcf(i)
+        if needs_pcf is not None:
+            # unroll path only (every slot runs anyway): mask, don't cond
+            shadow = jnp.where(needs_pcf[i], shadow, 1.0)
+        return total + dir_contribution(i, shadow)
 
     if unroll:
         for i in range(n_dir):
@@ -507,13 +511,48 @@ def deferred_lighting(
         active = (
             (ids >= directional_skip) & (ids < directional_count) & emits
         )
-        order = jnp.argsort(~active, stable=True).astype(jnp.int32)
+        if sun_shadow is not None:
+            # Hoisted sun (light 0): its PCF is the caller's shared
+            # buffer, so accumulate it here — structurally outside the
+            # loop — and drop slot 0 from the loop's active set. The sun
+            # stays first in accumulation order (it led the stable argsort
+            # whenever active). where (not arithmetic masking) so an
+            # inactive sun contributes exactly 0 even against a non-finite
+            # BRDF, matching the emits-skip semantics.
+            sun_sh = sun_shadow
+            if needs_pcf is not None:
+                sun_sh = jnp.where(needs_pcf[0], sun_shadow, 1.0)
+            total = total + jnp.where(
+                active[0], dir_contribution(0, sun_sh), 0.0
+            )
+            active = active & (ids != 0)
+        if needs_pcf is not None:
+            shadowed = active & needs_pcf
+            unshadowed = active & ~needs_pcf
+        else:
+            shadowed, unshadowed = active, None
+        order = jnp.argsort(~shadowed, stable=True).astype(jnp.int32)
         total = jax.lax.fori_loop(
             0,
-            jnp.sum(active.astype(jnp.int32)),
-            lambda i, t: dir_body(order[i], t),
+            jnp.sum(shadowed.astype(jnp.int32)),
+            lambda k, t: dir_body(order[k], t),
             total,
         )
+        if unshadowed is not None:
+            # dim-directional fast mode: these lights contribute with
+            # shadow == 1 and their loop body contains NO sampling — the
+            # PCF skip cannot be flattened away. Runs after the shadowed
+            # loop (reordering the float accumulation is inside the
+            # mode's deviation budget; eps == 0.0 never reaches here).
+            h_, w_ = material.position.shape[:2]
+            ones = jnp.ones((h_, w_), jnp.float32)
+            u_order = jnp.argsort(~unshadowed, stable=True).astype(jnp.int32)
+            total = jax.lax.fori_loop(
+                0,
+                jnp.sum(unshadowed.astype(jnp.int32)),
+                lambda k, t: t + dir_contribution(u_order[k], ones),
+                total,
+            )
 
     n_spot = spots.strength.shape[0]
 

@@ -241,7 +241,8 @@ class RenderConfig:
     # is below eps RELATIVE to the frame's total daylight-weighted
     # directional intensity (incl. the sky-handled sun — see
     # kernels/lighting.py::deferred_lighting) contributes UNSHADOWED
-    # (lax.cond skips its whole 5x5 PCF in the lighting loop) and its
+    # (a separate PCF-free loop skips its whole 5x5 PCF structurally;
+    # cond-based skips flatten to selects on this compiler) and its
     # shadow-map raster is skipped. The reference's clamp-transposition
     # quirk (scene.cpp:603-610) keeps the moon active in full daylight at
     # peak intensity 0.012, paying a full PCF evaluation (~45 ms at 1080p,
@@ -268,9 +269,16 @@ class RenderConfig:
     # the sky chunks computes the identical math; frames agree to XLA
     # fusion/reassociation noise (observed max 1.8e-7, one post-OETF ulp —
     # the sky row-chunk precedent), far inside every golden/parity bound
-    # (tests/test_lighting.py::test_share_sun_pcf_bitwise). False =
-    # evaluate in both passes.
-    share_sun_pcf: bool = True
+    # (tests/test_lighting.py::test_share_sun_pcf_bitwise).
+    # MEASURED WASH/LOSS — kept as a documented negative result, default
+    # OFF (tools/share_pcf_ab.py BABA, structural no-cond formulation):
+    # default scene 190.6/192.1 shared vs 188.3/188.7 local, and exactly
+    # 0 with the dim-moon skip on (159.0 vs 158.6). The sky pass's local
+    # per-chunk PCF evidently overlaps with the chunk's other gathers,
+    # while the hoisted (H, W) buffer must materialize and serialize the
+    # two passes. (An earlier cond-in-loop reuse was 12 ms WORSE: the
+    # compiler flattens cond to select and samples anyway.)
+    share_sun_pcf: bool = False
     # store the skyview quad in f16 (sampled values widen back to f32
     # before filtering). The 2048x1024 quad is 100 MB f32 — in the
     # bytes-bound big-table gather tier (47.5 ms f32 vs 33.9 ms f16 per
