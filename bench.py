@@ -181,9 +181,18 @@ def main() -> None:
     # fuse_lighting_sky: 2 chained programs/frame — measured 5-15 ms/frame
     # faster than the 3-program split at every queue depth, compile ~31 s
     # (tools/dispatch_probe.py r3 session; the FULLY fused frame is still
-    # pathological to compile, landmine 9)
+    # pathological to compile, landmine 9).
+    # fuse_lighting_sky_chunks: lighting runs inside the sky row chunks so
+    # its PCF gathers co-schedule with the in-scatter integral's compute —
+    # identical math, measured 180.7 vs 188.1 ms/frame exact and
+    # 152.2/152.9 vs 157.1/157.7 with the dim-moon skip
+    # (tools/fuse_chunks_ab.py BABA, r6 session).
     config = RenderConfig(
-        width=1920, height=1080, n_shadow_maps=4, fuse_lighting_sky=True
+        width=1920,
+        height=1080,
+        n_shadow_maps=4,
+        fuse_lighting_sky=True,
+        fuse_lighting_sky_chunks=True,
     )
 
     ms_per_frame = None

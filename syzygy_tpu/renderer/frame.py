@@ -383,6 +383,18 @@ class RenderConfig:
     # (landmine: the FULLY fused frame compiles >9 min) — measure before
     # flipping the default.
     fuse_lighting_sky: bool = False
+    # Run the LIGHTING pass inside the sky pass's row-chunk lax.map (one
+    # merged per-chunk body) instead of as a separate full-frame phase.
+    # Identical per-pixel math — lighting is purely per-pixel — differing
+    # only by XLA fusion/reassociation noise (the sky row-chunk
+    # precedent). Motivation (tools/share_pcf_ab.py + geom_budget_probe):
+    # gathers hide under co-scheduled compute — the sky pass's own 5-row
+    # sun PCF measures ~FREE in situ (removing it changed nothing),
+    # while the same PCF in the separate gather-bound lighting phase
+    # costs ~40 ms — so moving lighting's gathers next to the in-scatter
+    # integral's compute should hide much of the lighting stage.
+    # Requires render_atmosphere; implies the 2-program frame.
+    fuse_lighting_sky_chunks: bool = False
     # fast integral for the metallic-reflection environment bounce only
     # (camera.comp:379-387). The bounce's aerial term is second-order
     # (scaled by metallic * fresnel * segment transmittance): measured
@@ -758,6 +770,19 @@ def _stage_sky(
                     aerial.n_s,
                 )
 
+        def lit_of(gb_c):
+            # fuse_lighting_sky_chunks: the whole lighting pass runs on
+            # THIS row chunk, inside the sky's lax.map — its PCF gathers
+            # then co-schedule with the chunk's in-scatter integral
+            # compute instead of forming a separate gather-bound phase
+            # (the sky's own sun PCF measured ~free in situ this way —
+            # tools/share_pcf_ab.py).
+            return _stage_lighting.__wrapped__(
+                state, gb_c, shadow_maps, config.pcf_bitmask,
+                config.pcf_f16, config.pcf_q8,
+                config.shadowless_strength_eps,
+            )
+
         def camera_pass(lit_c, depth_c, gb_c, origin_c, sun_shadow_c):
             return sky_camera_pass(
                 lit_c,
@@ -783,22 +808,27 @@ def _stage_sky(
                 sun_shadow=sun_shadow_c,
             )
 
-        h, w = lit.shape[0], lit.shape[1]
+        h, w = vis_depth.shape[0], vis_depth.shape[1]
         n_chunks = _sky_chunks(h, w, config.sky_row_chunks)
         if n_chunks > 1:
             rows = h // n_chunks
 
             def one(i):
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * rows, rows, 0)
+                gb_c = jax.tree.map(sl, gbuffer)
+                lit_c = lit_of(gb_c) if lit is None else sl(lit)
                 return camera_pass(
-                    sl(lit), sl(vis_depth), jax.tree.map(sl, gbuffer),
+                    lit_c, sl(vis_depth), gb_c,
                     row0 + i * rows,
                     None if sun_shadow is None else sl(sun_shadow),
                 )
 
             color = jax.lax.map(one, jnp.arange(n_chunks)).reshape(h, w, 3)
         else:
-            color = camera_pass(lit, vis_depth, gbuffer, row0, sun_shadow)
+            color = camera_pass(
+                lit_of(gbuffer) if lit is None else lit,
+                vis_depth, gbuffer, row0, sun_shadow,
+            )
         color = jnp.clip(color, 0.0, 1.0)
     else:
         color = lit
@@ -835,6 +865,12 @@ def _stage_lighting_sky(
     sun_shadow = None
     if config.share_sun_pcf and config.render_atmosphere:
         sun_shadow = _sun_pcf(state, gbuffer, shadow_maps, config)
+    if config.fuse_lighting_sky_chunks and config.render_atmosphere:
+        # lighting runs per row chunk inside the sky map (lit=None)
+        return _stage_sky.__wrapped__(
+            state, None, vis_depth, gbuffer, shadow_maps, config, row0,
+            sun_shadow,
+        )
     lit = _stage_lighting.__wrapped__(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
         config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
@@ -845,7 +881,9 @@ def _stage_lighting_sky(
 
 
 def _finish_frame(state, vis, gbuffer, shadow_maps, config):
-    if config.fuse_lighting_sky:
+    if config.fuse_lighting_sky or (
+        config.fuse_lighting_sky_chunks and config.render_atmosphere
+    ):
         return _stage_lighting_sky(
             state, vis.depth, gbuffer, shadow_maps, config
         )

@@ -283,3 +283,43 @@ def test_joint_material_atlas_disqualifies_mixed_dims():
     mats_ok = np.array([[0, 2, 2]], np.int32)
     joint = joint_pack_atlas(atlas16, rects, mats_ok)
     assert joint is not None and joint[0].shape[-1] == 48
+
+
+def test_fuse_lighting_sky_chunks_matches():
+    """fuse_lighting_sky_chunks moves the (purely per-pixel) lighting pass
+    inside the sky pass's row-chunk lax.map; frames must match the
+    separate-phase pipeline to XLA reassociation noise (the sky row-chunk
+    precedent, <= ~2e-5)."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64, sky_row_chunks=2,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(render_frame(geo, params, config))
+    b = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(config, fuse_lighting_sky_chunks=True),
+        )
+    )
+    d = np.abs(a - b)
+    assert d.max() <= 2e-5, (d.max(), (d > 0).mean())

@@ -5,6 +5,14 @@ Replaces tpu_session.py's per-stage table with the chained-scalar method
 each measured call must CONSUME the previous call's output inside its own
 jitted program, with ONE 4-byte fetch at the end of each chain).
 
+Every chain forces its stage with a FULL REDUCTION over every output
+(see ``_tree_sum``): the original single-element forcing let XLA
+dead-code-eliminate whole sub-passes (dense geometry measured 76.5 ms
+scalar-forced vs 399.6 ms full-forced — tools/dense_gap_probe.py), which
+is what produced the phantom ~200 ms "gap" between the old stage table
+and the honest end-to-end bench. Numbers predating round 6 in
+docs/BENCHMARKS.md carry that undercount.
+
 Measures, on the real TPU:
   * stage_geometry / stage_lighting / stage_sky at 1920x1080 (default scene)
   * the same three stages on the dense 64-sphere field (253,952 triangles)
@@ -92,6 +100,22 @@ def main():
     fetch_s = time.perf_counter() - t0
     print(f"fetch latency ~{fetch_s * 1000:.0f} ms", flush=True)
 
+
+    def _tree_sum(t):
+        # FULL-REDUCTION forcing: consuming a single output element lets
+        # XLA dead-code-eliminate every output the scalar doesn't depend
+        # on (the old geometry chain dropped the whole resolve + shadow
+        # pass: scalar-forced dense geometry measured 76.5 ms vs 399.6
+        # full-forced — tools/dense_gap_probe.py). A sum over every
+        # output cannot be DCE'd or slice-pushed; the reduction itself is
+        # ~free on the VPU.
+        leaves = [
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree.leaves(t)
+            if hasattr(x, "dtype")
+        ]
+        return functools.reduce(jnp.add, leaves)
+
     def timed_chain(name, fn):
         """fn(prev_scalar) -> scalar derived from the measured program.
 
@@ -135,20 +159,23 @@ def main():
             p2 = params._replace(
                 cam_position=jnp.asarray(params.cam_position) + eps * 1e-30
             )
-            _, vis2, gb2, _ = _stage_geometry.__wrapped__(geo, p2, cfg)
-            return jnp.minimum(vis2.depth[0, 0] * 1e-30, 0.0)
+            _, vis2, gb2, smaps2 = _stage_geometry.__wrapped__(geo, p2, cfg)
+            return jnp.minimum(
+                (_tree_sum(vis2) + _tree_sum(gb2) + jnp.sum(smaps2)) * 1e-30,
+                0.0,
+            )
 
         @jax.jit
         def light_chain(state, gb, smaps, eps):
             gb2 = gb._replace(diffuse=gb.diffuse.at[0, 0, 0].add(eps * 1e-30))
             lit2 = _stage_lighting.__wrapped__(state, gb2, smaps)
-            return jnp.minimum(lit2[0, 0, 0] * 1e-30, 0.0)
+            return jnp.minimum(jnp.sum(lit2) * 1e-30, 0.0)
 
         @jax.jit
         def sky_chain(state, lit, depth, gb, smaps, eps):
             lit2 = lit.at[0, 0, 0].add(eps * 1e-30)
             img = _stage_sky.__wrapped__(state, lit2, depth, gb, smaps, cfg)
-            return jnp.minimum(img[0, 0, 0] * 1e-30, 0.0)
+            return jnp.minimum(jnp.sum(img) * 1e-30, 0.0)
 
         from syzygy_tpu.kernels.atmosphere import (
             METERS_PER_MM,
@@ -171,7 +198,7 @@ def main():
                 + eps * 1e-30
             )
             t_lut = compute_transmittance_lut(atmo)
-            return jnp.minimum(t_lut[0, 0, 0] * 1e-30, 0.0)
+            return jnp.minimum(jnp.sum(t_lut) * 1e-30, 0.0)
 
         @jax.jit
         def luts_chain(state, eps):
@@ -188,7 +215,7 @@ def main():
                 height=cfg.skyview_height,
             )
             return jnp.minimum(
-                (t_lut.quad[0, 0] + sky_lut[0, 0, 0]) * 1e-30, 0.0
+                (jnp.sum(t_lut.quad) + jnp.sum(sky_lut)) * 1e-30, 0.0
             )
 
         @jax.jit
@@ -219,7 +246,7 @@ def main():
             vis2 = _dispatch_raster(
                 setup, cfg.padded_width, cfg.padded_height, cfg
             )
-            return jnp.minimum(vis2.depth[0, 0] * 1e-30, 0.0)
+            return jnp.minimum(_tree_sum(vis2) * 1e-30, 0.0)
 
         @jax.jit
         def shadow_chain(geo, params, eps):
@@ -239,7 +266,7 @@ def main():
                 [world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=-1
             )
             maps = _shadow_pass(geo, world_h, st, cfg)
-            return jnp.minimum(maps[0, 0, 0] * 1e-30, 0.0)
+            return jnp.minimum(jnp.sum(maps) * 1e-30, 0.0)
 
         print(f"== {tag} ==", flush=True)
         timed_chain(
