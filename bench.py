@@ -187,12 +187,17 @@ def main() -> None:
     # identical math, measured 180.7 vs 188.1 ms/frame exact and
     # 152.2/152.9 vs 157.1/157.7 with the dim-moon skip
     # (tools/fuse_chunks_ab.py BABA, r6 session).
+    # resolve_in_sky_chunks: the G-buffer resolve also runs per chunk (the
+    # geometry program stops at the visibility buffer + records) —
+    # identical math, measured 151.0/151.4 vs 156.4/155.1 default and
+    # 313.7/315.2 vs 427.7/427.8 dense (tools/resolve_chunks_ab.py BABA).
     config = RenderConfig(
         width=1920,
         height=1080,
         n_shadow_maps=4,
         fuse_lighting_sky=True,
         fuse_lighting_sky_chunks=True,
+        resolve_in_sky_chunks=True,
     )
 
     ms_per_frame = None

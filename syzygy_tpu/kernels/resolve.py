@@ -325,11 +325,24 @@ def resolve_gbuffer(
         return _resolve_gbuffer_gathered(
             vis, setup, geometry, world_positions, world_normals
         )
-    valid = vis.tri >= 0  # (H, W)
-    tid = jnp.maximum(vis.tri, 0)
     records = build_resolve_records(
         setup, geometry, world_positions, world_normals
     )
+    return resolve_gbuffer_from_records(vis, records, geometry)
+
+
+def resolve_gbuffer_from_records(
+    vis: VisibilityBuffer,
+    records: jnp.ndarray,  # (T2, 49) from build_resolve_records
+    geometry: GeometryStatic,
+) -> GBuffer:
+    """The purely per-pixel tail of :func:`resolve_gbuffer` (single-mip
+    path): one record gather + atlas samples per pixel. Split out so the
+    frame graph can run it per row chunk inside the lighting+sky program
+    (RenderConfig.resolve_in_sky_chunks) — every input beyond ``vis`` is
+    a per-triangle/atlas table, so row-slicing ``vis`` is exact."""
+    valid = vis.tri >= 0  # (H, W)
+    tid = jnp.maximum(vis.tri, 0)
     rec = records[tid]  # (H, W, 49): the one per-pixel record gather
 
     corner_w = rec[..., 0:3]

@@ -250,12 +250,16 @@ class RenderConfig:
     # contribution; the RELATIVE gate keeps the night moon (the only
     # light, ratio 1) exactly shadowed. Deviation bounded by
     # tests/test_lighting.py::test_shadowless_eps_frame_close +
-    # tools/shadowless_probe.py. 0.0 = exact (still skips rasters for
-    # EXACTLY-zero directionals, which is frame-bitwise: their maps are
-    # never sampled). Map 0 (sun) always rasters — the sky pass samples
-    # it. Device BABA (tools/shadowless_ab.py): default scene 174.3/173.6
-    # vs 191.1/189.3 ms/frame; dense field 434.1 vs 501.3.
-    shadowless_strength_eps: float = 0.0
+    # tools/shadowless_probe.py at 960x540 (default scene RMSE 5.3e-5 /
+    # max 4.2e-4; chess flagship RMSE 1.9e-5 / max 1.8e-3 on 0.01% of
+    # pixels — far inside the 1e-3 RMSE parity budget), so ON by default
+    # like the other parity-bounded fast modes (aerial_lut precedent).
+    # 0.0 = exact (still skips rasters for EXACTLY-zero directionals,
+    # which is frame-bitwise: their maps are never sampled). Map 0 (sun)
+    # always rasters — the sky pass samples it. Device BABA
+    # (tools/share_pcf_ab.py, structural no-cond skip): default scene
+    # 158.6/159.0 vs 188.3/188.7 ms/frame exact.
+    shadowless_strength_eps: float = 0.025
     # Share ONE sun PCF evaluation between the lighting loop and the sky
     # camera pass. Both evaluate the IDENTICAL per-pixel chain
     # sample_shadow_map(compute_shadow_frame(sun_pv, material.position,
@@ -395,6 +399,19 @@ class RenderConfig:
     # integral's compute should hide much of the lighting stage.
     # Requires render_atmosphere; implies the 2-program frame.
     fuse_lighting_sky_chunks: bool = False
+    # Also run the G-BUFFER RESOLVE per row chunk inside the lighting+sky
+    # program (requires fuse_lighting_sky_chunks semantics; single-mip
+    # path only — the mip path's LOD derivatives are cross-pixel). The
+    # geometry program then stops at the visibility buffer + pre-joined
+    # records: the resolve's record gather + atlas samples (the geometry
+    # stage's dominant line — 32.6 ms default / 103.9 dense,
+    # tools/geom_budget_probe.py) co-schedule with the sky compute, the
+    # 5-plane G-buffer never materializes in HBM, and the dense scene's
+    # oversized combined geometry program (386 ms vs 287.5 parts sum)
+    # sheds its resolve share. Identical per-pixel math (XLA
+    # reassociation noise only). Ignored when mips are enabled or
+    # render_atmosphere is off.
+    resolve_in_sky_chunks: bool = False
     # fast integral for the metallic-reflection environment bounce only
     # (camera.comp:379-387). The bounce's aerial term is second-order
     # (scaled by metallic * fresnel * segment transmittance): measured
@@ -612,6 +629,19 @@ def _stage_geometry(
         grid_origin=(row0, 0),
     )
     vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
+    if (
+        config.resolve_in_sky_chunks
+        and config.render_atmosphere
+        and geometry.tex_rects_mips is None
+    ):
+        # defer the per-pixel resolve to the lighting+sky program's row
+        # chunks; hand over the pre-joined records instead of a G-buffer
+        from syzygy_tpu.kernels.resolve import build_resolve_records
+
+        records = build_resolve_records(
+            setup, geometry, world, world_normals
+        )
+        return state, vis, records, shadow_maps
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)
     return state, vis, gbuffer, shadow_maps
 
@@ -695,6 +725,12 @@ def _stage_sky(
     config: RenderConfig,
     row0: int = 0,
     sun_shadow=None,
+    # resolve_in_sky_chunks: the G-buffer is computed HERE per row chunk
+    # from the visibility buffer + pre-joined records (gbuffer arg is
+    # None); geometry supplies the texture atlas tables.
+    vis_full=None,
+    records=None,
+    geometry=None,
 ):
     """atmosphere LUTs + per-pixel sky pass + OETF."""
     if config.render_atmosphere:
@@ -783,6 +819,18 @@ def _stage_sky(
                 config.shadowless_strength_eps,
             )
 
+        def gb_of(sl):
+            # resolve_in_sky_chunks: resolve THIS chunk's G-buffer from
+            # the sliced visibility buffer + the per-triangle records
+            # (purely per-pixel; see resolve_gbuffer_from_records).
+            from syzygy_tpu.kernels.resolve import (
+                resolve_gbuffer_from_records,
+            )
+
+            return resolve_gbuffer_from_records(
+                jax.tree.map(sl, vis_full), records, geometry
+            )
+
         def camera_pass(lit_c, depth_c, gb_c, origin_c, sun_shadow_c):
             return sky_camera_pass(
                 lit_c,
@@ -815,7 +863,9 @@ def _stage_sky(
 
             def one(i):
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * rows, rows, 0)
-                gb_c = jax.tree.map(sl, gbuffer)
+                gb_c = gb_of(sl) if records is not None else jax.tree.map(
+                    sl, gbuffer
+                )
                 lit_c = lit_of(gb_c) if lit is None else sl(lit)
                 return camera_pass(
                     lit_c, sl(vis_depth), gb_c,
@@ -825,9 +875,12 @@ def _stage_sky(
 
             color = jax.lax.map(one, jnp.arange(n_chunks)).reshape(h, w, 3)
         else:
+            gb_full = (
+                gb_of(lambda a: a) if records is not None else gbuffer
+            )
             color = camera_pass(
-                lit_of(gbuffer) if lit is None else lit,
-                vis_depth, gbuffer, row0, sun_shadow,
+                lit_of(gb_full) if lit is None else lit,
+                vis_depth, gb_full, row0, sun_shadow,
             )
         color = jnp.clip(color, 0.0, 1.0)
     else:
@@ -858,10 +911,25 @@ def _stage_sky(
 
 @functools.partial(jax.jit, static_argnames=("config", "row0"))
 def _stage_lighting_sky(
-    state: FrameState, vis_depth, gbuffer, shadow_maps, config, row0: int = 0
+    state: FrameState,
+    vis_depth,
+    gbuffer,
+    shadow_maps,
+    config,
+    row0: int = 0,
+    vis_full=None,
+    records=None,
+    geometry=None,
 ):
     """Lighting + sky fused into one device program (RenderConfig.
     fuse_lighting_sky): same math, one fewer dispatch per frame."""
+    if records is not None:
+        # resolve_in_sky_chunks: no full-frame G-buffer exists — resolve,
+        # lighting and sky all run per row chunk (lit=None, gbuffer=None)
+        return _stage_sky.__wrapped__(
+            state, None, vis_depth, None, shadow_maps, config, row0, None,
+            vis_full, records, geometry,
+        )
     sun_shadow = None
     if config.share_sun_pcf and config.render_atmosphere:
         sun_shadow = _sun_pcf(state, gbuffer, shadow_maps, config)
@@ -880,7 +948,19 @@ def _stage_lighting_sky(
     )
 
 
-def _finish_frame(state, vis, gbuffer, shadow_maps, config):
+def _finish_frame(state, vis, gbuffer, shadow_maps, config, geometry=None):
+    """``gbuffer`` holds the pre-joined records instead of a G-buffer when
+    the geometry stage deferred the resolve (resolve_in_sky_chunks)."""
+    if (
+        config.resolve_in_sky_chunks
+        and config.render_atmosphere
+        and geometry is not None
+        and geometry.tex_rects_mips is None
+    ):
+        return _stage_lighting_sky(
+            state, vis.depth, None, shadow_maps, config, 0,
+            vis, gbuffer, geometry,
+        )
     if config.fuse_lighting_sky or (
         config.fuse_lighting_sky_chunks and config.render_atmosphere
     ):
@@ -912,7 +992,7 @@ def render_frame(
     like editor.cpp:396-401).
     """
     state, vis, gbuffer, shadow_maps = _stage_geometry(geometry, params, config)
-    encoded = _finish_frame(state, vis, gbuffer, shadow_maps, config)
+    encoded = _finish_frame(state, vis, gbuffer, shadow_maps, config, geometry)
     return encoded[: config.height, : config.width]
 
 
@@ -935,7 +1015,7 @@ def render_frame_packed(
     state, vis, gbuffer, shadow_maps = _stage_geometry_packed(
         geometry, buffer, spec, config
     )
-    encoded = _finish_frame(state, vis, gbuffer, shadow_maps, config)
+    encoded = _finish_frame(state, vis, gbuffer, shadow_maps, config, geometry)
     return encoded[: config.height, : config.width]
 
 

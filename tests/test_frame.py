@@ -323,3 +323,46 @@ def test_fuse_lighting_sky_chunks_matches():
     )
     d = np.abs(a - b)
     assert d.max() <= 2e-5, (d.max(), (d > 0).mean())
+
+
+def test_resolve_in_sky_chunks_matches():
+    """resolve_in_sky_chunks defers the (purely per-pixel, single-mip)
+    G-buffer resolve into the lighting+sky program's row chunks; frames
+    must match the phase-separated pipeline to XLA reassociation noise."""
+    import dataclasses
+
+    import numpy as np
+
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, lib = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.tick(0.0)
+    eye = np.array([18.0, -16.0, -22.0], np.float32)
+    target = np.array([0.0, -6.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=128, height=64, shadow_dim=128, skyview_width=128,
+        skyview_height=64, sky_row_chunks=2,
+    )
+    geo = pack_geometry(scene, lib)
+    params = pack_frame_params(scene, 2.0)
+    a = np.asarray(render_frame(geo, params, config))
+    b = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(
+                config,
+                fuse_lighting_sky_chunks=True,
+                resolve_in_sky_chunks=True,
+            ),
+        )
+    )
+    d = np.abs(a - b)
+    assert d.max() <= 2e-5, (d.max(), (d > 0).mean())

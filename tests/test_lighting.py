@@ -503,7 +503,13 @@ def test_shadowless_eps_frame_close():
     )
     geo = pack_geometry(scene, lib)
     params = pack_frame_params(scene, 2.0)
-    a = np.asarray(render_frame(geo, params, config))
+    a = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(config, shadowless_strength_eps=0.0),
+        )
+    )
     b = np.asarray(
         render_frame(
             geo,
@@ -556,7 +562,13 @@ def test_shadowless_eps_keeps_night_moon_shadowed():
     # so the elevation is +forward_y.
     sun_up = float(np.asarray(d.forward[0, 1]))
     assert sun_up < 0.0, sun_up  # genuinely night: sun below the horizon
-    a = np.asarray(render_frame(geo, params, config))
+    a = np.asarray(
+        render_frame(
+            geo,
+            params,
+            dataclasses.replace(config, shadowless_strength_eps=0.0),
+        )
+    )
     b = np.asarray(
         render_frame(
             geo,
