@@ -191,6 +191,12 @@ def main() -> None:
     # geometry program stops at the visibility buffer + records) —
     # identical math, measured 151.0/151.4 vs 156.4/155.1 default and
     # 313.7/315.2 vs 427.7/427.8 dense (tools/resolve_chunks_ab.py BABA).
+    # sky_row_chunks=16 (68-row chunks): an empirical sweet spot of the
+    # merged chunked program — BABA 141.1/141.8/140.0 vs 149.9/151.0 at
+    # auto(4); 8/17/34 chunks all measure WORSE (154-181), so this is a
+    # compiler-scheduling lottery win, not a monotonic trend
+    # (tools/chunk_count_ab.py, r6 session). Dense is neutral (319.8 vs
+    # 321.4).
     config = RenderConfig(
         width=1920,
         height=1080,
@@ -198,6 +204,7 @@ def main() -> None:
         fuse_lighting_sky=True,
         fuse_lighting_sky_chunks=True,
         resolve_in_sky_chunks=True,
+        sky_row_chunks=16,
     )
 
     ms_per_frame = None

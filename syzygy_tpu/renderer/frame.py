@@ -624,6 +624,9 @@ def _stage_geometry(
         config.render_width,
         config.render_height,
         cull_keep_sign=+1,  # back-face cull, CW front (deferred.cpp:503-713)
+        tile_h=config.raster_tile_h,
+        tile_w=config.raster_tile_w,
+        chunk=config.raster_chunk,
         grid_width=config.padded_width,
         grid_height=local_rows,
         grid_origin=(row0, 0),
@@ -1060,6 +1063,9 @@ def render_frame_rows(
         config.render_width,
         config.render_height,
         cull_keep_sign=+1,
+        tile_h=config.raster_tile_h,
+        tile_w=config.raster_tile_w,
+        chunk=config.raster_chunk,
         grid_width=config.padded_width,
         grid_height=local_rows,
         grid_origin=(row0, 0),
