@@ -809,7 +809,7 @@ def _stage_sky(
                     aerial.n_s,
                 )
 
-        def lit_of(gb_c):
+        def lit_of(gb_c, ss_c=None):
             # fuse_lighting_sky_chunks: the whole lighting pass runs on
             # THIS row chunk, inside the sky's lax.map — its PCF gathers
             # then co-schedule with the chunk's in-scatter integral
@@ -819,8 +819,20 @@ def _stage_sky(
             return _stage_lighting.__wrapped__(
                 state, gb_c, shadow_maps, config.pcf_bitmask,
                 config.pcf_f16, config.pcf_q8,
-                config.shadowless_strength_eps,
+                config.shadowless_strength_eps, ss_c,
             )
+
+        def chunk_sun_pcf(gb_c):
+            # share_sun_pcf IN-CHUNK (fused paths only): evaluate the one
+            # sun PCF both the lighting body and the camera pass need from
+            # THIS chunk's G-buffer — a chunk-local value, not the hoisted
+            # (H, W) buffer that serialized the passes (the r6 wash,
+            # tools/share_pcf_ab.py item 7). Bitwise: both consumers
+            # evaluate the identical sample_shadow_map(compute_shadow_frame)
+            # chain (tests/test_lighting.py::test_share_sun_pcf_bitwise).
+            if not (config.share_sun_pcf and lit is None):
+                return None
+            return _sun_pcf(state, gb_c, shadow_maps, config)
 
         def gb_of(sl):
             # resolve_in_sky_chunks: resolve THIS chunk's G-buffer from
@@ -869,11 +881,15 @@ def _stage_sky(
                 gb_c = gb_of(sl) if records is not None else jax.tree.map(
                     sl, gbuffer
                 )
-                lit_c = lit_of(gb_c) if lit is None else sl(lit)
+                ss_c = (
+                    chunk_sun_pcf(gb_c) if sun_shadow is None
+                    else sl(sun_shadow)
+                )
+                lit_c = lit_of(gb_c, ss_c) if lit is None else sl(lit)
                 return camera_pass(
                     lit_c, sl(vis_depth), gb_c,
                     row0 + i * rows,
-                    None if sun_shadow is None else sl(sun_shadow),
+                    ss_c,
                 )
 
             color = jax.lax.map(one, jnp.arange(n_chunks)).reshape(h, w, 3)
@@ -881,9 +897,12 @@ def _stage_sky(
             gb_full = (
                 gb_of(lambda a: a) if records is not None else gbuffer
             )
+            ss_full = (
+                chunk_sun_pcf(gb_full) if sun_shadow is None else sun_shadow
+            )
             color = camera_pass(
-                lit_of(gb_full) if lit is None else lit,
-                vis_depth, gb_full, row0, sun_shadow,
+                lit_of(gb_full, ss_full) if lit is None else lit,
+                vis_depth, gb_full, row0, ss_full,
             )
         color = jnp.clip(color, 0.0, 1.0)
     else:

@@ -607,10 +607,22 @@ def test_share_sun_pcf_bitwise():
     )
     geo = pack_geometry(scene, lib)
     params = pack_frame_params(scene, 2.0)
-    for fuse in (False, True):
+    variants = (
+        dict(fuse_lighting_sky=False),
+        dict(fuse_lighting_sky=True),
+        # in-chunk sharing (chunk_sun_pcf): the PCF is a chunk-local value
+        # inside the fused lax.map body, not a hoisted (H, W) buffer
+        dict(fuse_lighting_sky=True, fuse_lighting_sky_chunks=True),
+        dict(
+            fuse_lighting_sky=True,
+            fuse_lighting_sky_chunks=True,
+            resolve_in_sky_chunks=True,
+        ),
+    )
+    for fuse in variants:
         config = RenderConfig(
             width=128, height=64, shadow_dim=128, skyview_width=128,
-            skyview_height=64, fuse_lighting_sky=fuse, sky_row_chunks=2,
+            skyview_height=64, sky_row_chunks=2, **fuse,
         )
         a = np.asarray(
             render_frame(
