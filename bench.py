@@ -22,9 +22,11 @@ measurements, docs/BENCHMARKS.md):
   scalar programs is free), and one 4-byte fetch forces the whole group.
   This amortizes the per-wait tunnel round trip (~0.4 s) over the group
   while staying far below the queue depth that wedges the worker
-  (tools/queue_depth_probe.py: depth 4/6/8 = 261.7/254.8/254.0 ms/frame
-  in one session, no wedge at 8; 50 is known pathological). The result
-  is an honest UPPER bound: no cross-group pipelining is counted.
+  (tools/queue_depth_probe.py, r4 session: depth 16/20/24/32 =
+  137.3/131.7/131.9/129.2 ms/frame, no wedge at 32; 50 is known
+  pathological — group stays at 32, well inside the wedge boundary).
+  The result is an honest UPPER bound: no cross-group pipelining is
+  counted.
 """
 
 import json
@@ -69,7 +71,7 @@ def _flagship_scene():
 
 
 def _measure_scene(
-    scene, library, config, frames: int = 32, group: int = 16,
+    scene, library, config, frames: int = 64, group: int = 32,
     pack_kwargs: dict | None = None,
 ) -> float:
     """Median ms/frame over groups of ``group`` chained frames, each group
@@ -178,34 +180,14 @@ def main() -> None:
 
     from syzygy_tpu.renderer import RenderConfig
 
-    # fuse_lighting_sky: 2 chained programs/frame — measured 5-15 ms/frame
-    # faster than the 3-program split at every queue depth, compile ~31 s
-    # (tools/dispatch_probe.py r3 session; the FULLY fused frame is still
-    # pathological to compile, landmine 9).
-    # fuse_lighting_sky_chunks: lighting runs inside the sky row chunks so
-    # its PCF gathers co-schedule with the in-scatter integral's compute —
-    # identical math, measured 180.7 vs 188.1 ms/frame exact and
-    # 152.2/152.9 vs 157.1/157.7 with the dim-moon skip
-    # (tools/fuse_chunks_ab.py BABA, r6 session).
-    # resolve_in_sky_chunks: the G-buffer resolve also runs per chunk (the
-    # geometry program stops at the visibility buffer + records) —
-    # identical math, measured 151.0/151.4 vs 156.4/155.1 default and
-    # 313.7/315.2 vs 427.7/427.8 dense (tools/resolve_chunks_ab.py BABA).
-    # sky_row_chunks=16 (68-row chunks): an empirical sweet spot of the
-    # merged chunked program — BABA 141.1/141.8/140.0 vs 149.9/151.0 at
-    # auto(4); 8/17/34 chunks all measure WORSE (154-181), so this is a
-    # compiler-scheduling lottery win, not a monotonic trend
-    # (tools/chunk_count_ab.py, r6 session). Dense is neutral (319.8 vs
-    # 321.4).
-    config = RenderConfig(
-        width=1920,
-        height=1080,
-        n_shadow_maps=4,
-        fuse_lighting_sky=True,
-        fuse_lighting_sky_chunks=True,
-        resolve_in_sky_chunks=True,
-        sky_row_chunks=16,
-    )
+    # The fusion flags (fuse_lighting_sky, fuse_lighting_sky_chunks,
+    # resolve_in_sky_chunks) and the 68-row sky-chunk sweet spot are
+    # RenderConfig DEFAULTS since r4 (VERDICT r3 weak #7: the published
+    # number must be the config `python -m syzygy_tpu.app` runs); the
+    # measurements that set them live on the config fields themselves.
+    # n_shadow_maps=4 sizes the shadow raster budget to the scenes below
+    # (sun + moon + 1-2 spots) instead of the reference's capacity 10.
+    config = RenderConfig(width=1920, height=1080, n_shadow_maps=4)
 
     ms_per_frame = None
     error = None
@@ -267,7 +249,7 @@ def main() -> None:
                 np.asarray(eulers_from_forward(target - eye))
             )
             extra["dense_254k_tris_ms"] = round(
-                _measure_scene(dense, dlib, config, frames=16), 3
+                _measure_scene(dense, dlib, config, frames=32), 3
             )
     except Exception as e:
         extra["dense_error"] = f"{type(e).__name__}: {str(e)[:80]}"
@@ -285,7 +267,7 @@ def main() -> None:
                 np.asarray(eulers_from_forward(target - eye))
             )
             extra["chess_14k_tris_ms"] = round(
-                _measure_scene(chess, chess_lib, config, frames=16), 3
+                _measure_scene(chess, chess_lib, config, frames=32), 3
             )
     except Exception as e:
         extra["chess_error"] = f"{type(e).__name__}: {str(e)[:80]}"

@@ -1,14 +1,11 @@
-"""Queue-depth + joint-atlas device probe (r3 continuation).
+"""Queue-depth device probe (r5 ladder continuation; VERDICT r3 ask #2).
 
-One health-gated session answering two questions:
-1. What does the default 1080p frame cost with the joint material atlas
-   (expected ~2 fewer gathers/px vs the 282 ms r3 number)?
-2. Does deepening the bench's chained-group depth from 4 to 6/8 cut the
-   amortized forcing RTT without wedging the worker (50 in flight is known
-   pathological; 4 is the proven-safe bound)?
-
-Ordering is deliberate: depth 4 first so a depth-8 wedge still leaves the
-safe numbers on stdout.
+r5 measured 8/12/16 = 215.4/209.5/206.2 ms/frame — still improving at 16.
+This session extends the ladder to 20/24/32 under the CURRENT bench config
+(fused chunks + resolve-in-chunks + 16 row chunks) so the finding transfers
+to bench.py directly. 50 in flight is known pathological (worker wedge,
+~41.5 s/frame from HBM exhaustion); ordering is safest-first so a deep-depth
+wedge still leaves the shallow numbers on stdout.
 """
 
 import os
@@ -26,9 +23,15 @@ def main():
         print("device unavailable", flush=True)
         return
     config = RenderConfig(
-        width=1920, height=1080, n_shadow_maps=4, fuse_lighting_sky=True
+        width=1920,
+        height=1080,
+        n_shadow_maps=4,
+        fuse_lighting_sky=True,
+        fuse_lighting_sky_chunks=True,
+        resolve_in_sky_chunks=True,
+        sky_row_chunks=16,
     )
-    for group in (8, 12, 16):
+    for group in (16, 20, 24, 32):
         scene, library = bench._flagship_scene()
         t0 = time.perf_counter()
         ms = bench._measure_scene(
