@@ -587,7 +587,11 @@ def test_share_sun_pcf_bitwise():
     lax.map boundaries lets XLA fuse the shadow-coord matmuls differently,
     so frames agree only to reassociation noise (observed max 1.8e-7 —
     one ulp post-OETF; same precedent as the sky row-chunk equivalence).
-    Checked in both the fused and the 3-program frame."""
+    Checked in four frame variants: the 3-program split, the fused
+    lighting+sky program, fused-chunks (lighting inside the sky lax.map,
+    where the share takes its chunk-local form), and resolve-in-sky-chunks.
+    The name says 'bitwise' for the shared PCF VALUE; whole frames agree
+    to the 1e-6 reassociation bound explained above."""
     import dataclasses
 
     import numpy as np

@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _flagship_scene, _measure_scene, _wait_healthy  # noqa: E402
-from dense_depth_probe import _dense  # noqa: E402
+from tools.dense_depth_probe import _dense  # noqa: E402
 
 
 def main():
