@@ -328,6 +328,80 @@ def joint_pack_atlas(
     return packer.as_atlas()
 
 
+def joint_pack_atlas_nbhd(
+    atlas16: np.ndarray,  # (A_h, A_w, 16) quad-packed atlas (f32)
+    rects: np.ndarray,  # (N, 4) i32 per-texture rects
+    materials: np.ndarray,  # (M, 3) i32 color/normal/orm texture ids
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """EXACT mixed-dimension joint material atlas: (J_h, J_w, 108) + per-
+    material rects (M, 4) at the fine (max) dims + per-role dims (M, 3, 2).
+
+    The 48ch :func:`joint_pack_atlas` requires all three maps to share
+    dims; mixed-dim materials (the chess flagship: 512/256/128 board,
+    256/256/64 pieces) fall back to three separate gathers per pixel.
+    This layout keeps ONE gather per pixel and stays BITWISE equal to the
+    three separate samples:
+
+    * The fine grid is the per-material per-axis max dims (W, H). For each
+      role map of dims (w, h) with ratio k = W/w, the 9 channel groups of
+      4 hold the 3x3 texel neighborhood at base F(ix) =
+      floor((ix + 0.5)/k - 0.5) (REPEAT-wrapped): over the fine cell's
+      frac range the role's own bilinear base floor(u*w - 0.5) spans an
+      interval of width 1/k <= 1, so it takes only values {F, F+1} and its
+      2x2 footprint lies inside {F..F+2}^2.
+    * The consumer (``resolve._sample_atlas_rect_joint_nbhd``) recomputes
+      each role's p = u*w - 0.5 / floor / mod with the IDENTICAL f32 ops
+      as ``_sample_atlas_rect`` and selects the right 2x2 from the stored
+      3x3. Consistency between the fine index and the role index is exact
+      because every ratio is required to be a POWER OF TWO: f32 rounding
+      commutes with scaling by 2^j, so fl(u*W) = k * fl(u*w) bit-for-bit
+      and the interval argument holds on the computed values, not just in
+      real arithmetic.
+
+    Returns None when any material has a non-power-of-two or non-dividing
+    dim ratio (callers then keep the separate-gather path).
+    """
+    rects = np.asarray(rects)
+    materials = np.asarray(materials).reshape(-1, 3)
+    dims = rects[materials][..., 2:4].astype(np.int32)  # (M, 3, 2)
+    fine = dims.max(axis=1)  # (M, 2) per-material (W, H)
+    ratios = fine[:, None, :] // np.maximum(dims, 1)
+    if (dims <= 0).any():
+        return None
+    if (ratios * dims != fine[:, None, :]).any():
+        return None  # non-dividing dims
+    if (ratios & (ratios - 1)).any():
+        return None  # non-power-of-two ratio
+
+    def neighborhood(plain: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        """(h, w, 4) map -> (out_h, out_w, 36): 3x3 texels at base F."""
+        h, w, _ = plain.shape
+        kx, ky = out_w // w, out_h // h
+        fx = np.floor((np.arange(out_w) + 0.5) / kx - 0.5).astype(np.int64)
+        fy = np.floor((np.arange(out_h) + 0.5) / ky - 0.5).astype(np.int64)
+        parts = []
+        for dy in range(3):
+            rows = (fy + dy) % h
+            for dx in range(3):
+                cols = (fx + dx) % w
+                parts.append(plain[rows][:, cols])
+        return np.concatenate(parts, axis=-1)
+
+    tiles = []
+    for m, (c, n, o) in enumerate(materials):
+        out_w, out_h = (int(v) for v in fine[m])
+        parts = []
+        for t in (c, n, o):
+            rx, ry, rw, rh = (int(v) for v in rects[t])
+            plain = atlas16[ry : ry + rh, rx : rx + rw, 0:4]
+            parts.append(neighborhood(plain, out_w, out_h))
+        tiles.append(np.concatenate(parts, axis=-1))  # (out_h, out_w, 108)
+    packer = TextureLibrary()
+    packer._textures = tiles
+    atlas, rects_joint = packer.as_atlas()
+    return atlas, rects_joint, dims
+
+
 def _round_up8(n: int) -> int:
     return (int(n) + 7) // 8 * 8
 

@@ -190,7 +190,9 @@ def _cotangent_frame_normal(
     )
 
 
-RECORD_WIDTH = 49  # 41 when the geometry carries a joint material atlas
+# 41 when the geometry carries a joint material atlas (rect only);
+# 47 for the mixed-dim neighborhood joint atlas (rect + 3x(w,h))
+RECORD_WIDTH = 49
 
 
 def _sample_atlas_rect_joint(
@@ -229,6 +231,74 @@ def _sample_atlas_rect_joint(
     return lerp(0), lerp(16), lerp(32)
 
 
+def _sample_atlas_rect_joint_nbhd(
+    r: jnp.ndarray,  # (..., 4) i32 [x0, y0, W, H] joint rect (fine dims)
+    dims: jnp.ndarray,  # (..., 3, 2) i32 per-role (w, h)
+    atlas: jnp.ndarray,  # (J_h, J_w, 108) neighborhood joint atlas
+    uv: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One 108-channel gather -> (color, normal, orm) bilinear samples for
+    MIXED-dimension materials — bitwise equal to three separate
+    :func:`_sample_atlas_rect` calls (layout + exactness proof:
+    ``assets.types.joint_pack_atlas_nbhd``).
+
+    Each role recomputes its own p = u*w - 0.5 / floor / mod with the
+    identical f32 ops as the separate path, then selects its 2x2 footprint
+    out of the stored 3x3 neighborhood with a per-axis offset
+    d = (own base - stored base F) mod w, which the power-of-two-ratio
+    construction pins to {0, 1}. Selects commute with the bilinear
+    arithmetic lane-wise, so the lerp below is bit-identical to lerping
+    the selected texels."""
+    x0r, y0r = r[..., 0], r[..., 1]
+    fw = r[..., 2]
+    fh = r[..., 3]
+    p_X = uv[..., 0] * fw.astype(jnp.float32) - 0.5
+    p_Y = uv[..., 1] * fh.astype(jnp.float32) - 0.5
+    ixf = jnp.mod(jnp.floor(p_X).astype(jnp.int32), fw)
+    iyf = jnp.mod(jnp.floor(p_Y).astype(jnp.int32), fh)
+    q = atlas[y0r + iyf, x0r + ixf]  # (..., 108): the one gather
+    q = q.astype(jnp.float32)  # no-op for f32 atlases (atlas_f16)
+
+    def sample_role(role):
+        w = dims[..., role, 0]
+        h = dims[..., role, 1]
+        # identical op sequence to _sample_atlas_rect
+        p_x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+        p_y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+        fx0 = jnp.floor(p_x)
+        fy0 = jnp.floor(p_y)
+        fracx = (p_x - fx0)[..., None]
+        fracy = (p_y - fy0)[..., None]
+        ix0 = jnp.mod(fx0.astype(jnp.int32), w)
+        iy0 = jnp.mod(fy0.astype(jnp.int32), h)
+        # stored neighborhood base F = floor((ix_fine + 0.5)/k - 0.5)
+        # = floor_div(2*ix_fine + 1 - k, 2*k), wrapped into the role map
+        kx = fw // w
+        ky = fh // h
+        fx = jnp.mod(jnp.floor_divide(2 * ixf + 1 - kx, 2 * kx), w)
+        fy = jnp.mod(jnp.floor_divide(2 * iyf + 1 - ky, 2 * ky), h)
+        dx = (jnp.mod(ix0 - fx, w) != 0)[..., None]  # {0,1} by construction
+        dy = (jnp.mod(iy0 - fy, h) != 0)[..., None]
+        base = role * 36
+
+        def nb(j, i):
+            c = base + (j * 3 + i) * 4
+            return q[..., c : c + 4]
+
+        # select columns (dx, dx+1) per stored row, fold the x-lerp, then
+        # select rows (dy, dy+1)
+        rowv = []
+        for j in range(3):
+            left = jnp.where(dx, nb(j, 1), nb(j, 0))
+            right = jnp.where(dx, nb(j, 2), nb(j, 1))
+            rowv.append(left * (1.0 - fracx) + right * fracx)
+        top = jnp.where(dy, rowv[1], rowv[0])
+        bot = jnp.where(dy, rowv[2], rowv[1])
+        return top * (1.0 - fracy) + bot * fracy
+
+    return sample_role(0), sample_role(1), sample_role(2)
+
+
 def build_resolve_records(
     setup: TriSetup,
     geometry: GeometryStatic,
@@ -254,7 +324,8 @@ def build_resolve_records(
     37:49 color/normal/orm atlas rects (exact small ints in f32) — or,
     when the geometry carries a joint material atlas
     (``tex_rects_joint``), 37:41 the material's single joint rect
-    (record width 41).
+    (record width 41; the mixed-dim neighborhood variant appends the
+    per-role dims at 41:47, width 47).
 
     The build itself needs NO per-slot gathers: ``setup.orig_tri`` is
     statically ``concat(arange(T), arange(T))`` + zero padding
@@ -287,6 +358,13 @@ def build_resolve_records(
         rect_cols = tile2(
             geometry.tex_rects_joint[geometry.tri_material]
         ).astype(jnp.float32)  # (T2, 4)
+        if geometry.tex_dims_joint is not None:
+            # mixed-dim neighborhood joint atlas: the sampler recomputes
+            # each role's own index math from its (w, h)
+            dims_cols = tile2(
+                geometry.tex_dims_joint[geometry.tri_material].reshape(-1, 6)
+            ).astype(jnp.float32)  # (T2, 6) -> record width 47
+            rect_cols = jnp.concatenate([rect_cols, dims_cols], axis=-1)
     else:
         rect_cols = tile2(
             geometry.tex_rects[geometry.materials[geometry.tri_material]]
@@ -364,9 +442,19 @@ def resolve_gbuffer_from_records(
     uv = interp(21, 2)
 
     if geometry.tex_atlas_joint is not None:
-        color_tex, normal_tex, orm_tex = _sample_atlas_rect_joint(
-            rec[..., 37:41].astype(jnp.int32), geometry.tex_atlas_joint, uv
-        )
+        if geometry.tex_dims_joint is not None:
+            color_tex, normal_tex, orm_tex = _sample_atlas_rect_joint_nbhd(
+                rec[..., 37:41].astype(jnp.int32),
+                rec[..., 41:47].astype(jnp.int32).reshape(*hw, 3, 2),
+                geometry.tex_atlas_joint,
+                uv,
+            )
+        else:
+            color_tex, normal_tex, orm_tex = _sample_atlas_rect_joint(
+                rec[..., 37:41].astype(jnp.int32),
+                geometry.tex_atlas_joint,
+                uv,
+            )
     else:
         atlas = geometry.tex_atlas
         color_tex = _sample_atlas_rect(

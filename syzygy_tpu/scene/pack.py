@@ -77,6 +77,12 @@ class GeometryStatic(NamedTuple):
     # (and quad_pack, single-mip); bitwise-identical sampling either way.
     tex_atlas_joint: jnp.ndarray | None = None
     tex_rects_joint: jnp.ndarray | None = None  # (M, 4) i32 per material
+    # set only for the mixed-dimension neighborhood joint atlas
+    # (assets.types.joint_pack_atlas_nbhd — (J_h, J_w, 108) in
+    # tex_atlas_joint): per-role (w, h) so the resolve can recompute each
+    # map's own bilinear index math bitwise; None for the 48ch equal-dims
+    # joint atlas.
+    tex_dims_joint: jnp.ndarray | None = None  # (M, 3, 2) i32
 
 
 class FrameParams(NamedTuple):
@@ -179,6 +185,7 @@ def pack_geometry(
     quad_pack: bool = True,
     joint_pack: bool = True,
     joint_pack_pad: bool = False,
+    joint_pack_mixed: bool = False,
     atlas_f16: bool = True,
 ) -> GeometryStatic:
     """Flatten all renderable instances into one padded triangle soup.
@@ -219,6 +226,17 @@ def pack_geometry(
     frequency normal maps at 2x), OUTSIDE the 1e-3-RMSE parity budget, so
     it stays opt-in: a ~1-gather/px trade of fidelity for speed on
     mixed-dimension scenes (tests/test_resolve.py pins the bound).
+
+    ``joint_pack_mixed`` builds the EXACT mixed-dimension neighborhood
+    joint atlas instead (``assets.types.joint_pack_atlas_nbhd``: 108
+    channels = each role's 3x3 texel neighborhood on the fine grid;
+    bitwise-equal to three separate gathers when every dim ratio is a
+    power of two — tests/test_resolve.py::
+    test_joint_material_atlas_mixed_bitwise). Used only when the
+    equal-dims 48ch joint doesn't apply; takes precedence over
+    ``joint_pack_pad``. Opt-in pending device measurement (the gather is
+    2.25x wider; gathers are row-count-bound in the cheap tier but the
+    chess-scale joint atlas lands in the bytes-sensitive big tier).
     """
     positions, normals, uvs, colors, vert_instance = [], [], [], [], []
     triangles, tri_material, tri_shadow, tri_centroid = [], [], [], []
@@ -282,10 +300,15 @@ def pack_geometry(
     tri_valid = np.zeros(t_cap, bool)
     tri_valid[:n_tris] = True
 
-    from syzygy_tpu.assets.types import joint_pack_atlas, quad_pack_atlas
+    from syzygy_tpu.assets.types import (
+        joint_pack_atlas,
+        joint_pack_atlas_nbhd,
+        quad_pack_atlas,
+    )
 
     materials_arr = np.asarray(materials, np.int32).reshape(-1, 3)
     joint = None
+    joint_dims = None
     if mipmaps:
         atlas, rects_mips = texture_library.as_atlas_mips()
         rects = rects_mips[:, 0]
@@ -297,9 +320,18 @@ def pack_geometry(
         if quad_pack:
             atlas = quad_pack_atlas(atlas, rects)
             if joint_pack:
-                joint = joint_pack_atlas(
-                    atlas, rects, materials_arr, pad=joint_pack_pad
-                )
+                # priority: exact 48ch (equal dims) > exact 108ch mixed
+                # neighborhood > approximate pad
+                joint = joint_pack_atlas(atlas, rects, materials_arr)
+                if joint is None and joint_pack_mixed:
+                    nb = joint_pack_atlas_nbhd(atlas, rects, materials_arr)
+                    if nb is not None:
+                        joint = nb[:2]
+                        joint_dims = nb[2]
+                if joint is None and joint_pack_pad:
+                    joint = joint_pack_atlas(
+                        atlas, rects, materials_arr, pad=True
+                    )
 
     if atlas_f16:
         atlas = atlas.astype(np.float16)
@@ -326,6 +358,9 @@ def pack_geometry(
         ),
         tex_atlas_joint=jnp.asarray(joint[0]) if joint is not None else None,
         tex_rects_joint=jnp.asarray(joint[1]) if joint is not None else None,
+        tex_dims_joint=(
+            jnp.asarray(joint_dims) if joint_dims is not None else None
+        ),
     )
 
 

@@ -461,3 +461,128 @@ def test_atlas_f16_frame_close():
         np.sqrt((d**2).mean()),
     )
     assert d.max() < 5e-3, d.max()
+
+
+def test_sample_atlas_rect_joint_nbhd_bitwise():
+    """The mixed-dim neighborhood joint sampler is BITWISE equal to three
+    separate quad-packed samples — adversarial uv included (negative,
+    beyond [0,1], exactly on texel centers/edges of every map). The
+    power-of-two ratio construction guarantees the stored 3x3 always
+    contains each role's own 2x2 footprint (assets.types.
+    joint_pack_atlas_nbhd)."""
+    from syzygy_tpu.assets.types import (
+        TextureLibrary,
+        joint_pack_atlas_nbhd,
+        quad_pack_atlas,
+    )
+    from syzygy_tpu.kernels.resolve import (
+        _sample_atlas_rect,
+        _sample_atlas_rect_joint_nbhd,
+    )
+
+    rng = np.random.default_rng(3)
+    lib = TextureLibrary()
+    # per-axis mixed ratios: x 1/2/4, y 1/1/4
+    lib.register("c", rng.uniform(0, 1, (8, 16, 4)).astype(np.float32))
+    lib.register("n", rng.uniform(0, 1, (8, 8, 4)).astype(np.float32))
+    lib.register("o", rng.uniform(0, 1, (2, 4, 4)).astype(np.float32))
+    atlas, rects = lib.as_atlas()
+    atlas16 = quad_pack_atlas(atlas, rects)
+    mats = np.array([[0, 1, 2]], np.int32)
+    nb = joint_pack_atlas_nbhd(atlas16, rects, mats)
+    assert nb is not None
+    j_atlas, j_rects, j_dims = nb
+    assert j_atlas.shape[-1] == 108
+    assert j_rects[0][2] == 16 and j_rects[0][3] == 8
+
+    uv_sets = [rng.uniform(-2.0, 3.0, (512, 2)).astype(np.float32)]
+    # texel centers, edges, and just-off-by-ulp of every map's grid
+    for dim in (16, 8, 4, 2):
+        g = (np.arange(4 * dim, dtype=np.float32) + 0.5) / (2 * dim) - 0.75
+        for d in (0.0, 0.5 / dim, np.float32(1e-7), -np.float32(1e-7)):
+            pts = (g + d).astype(np.float32)
+            uv_sets.append(
+                np.stack([pts, np.flip(pts)], axis=-1).astype(np.float32)
+            )
+    uv = np.concatenate(uv_sets, axis=0)
+
+    n_s = uv.shape[0]
+    sep = [
+        np.asarray(
+            _sample_atlas_rect(
+                jnp.asarray(np.tile(rects[i], (n_s, 1)), jnp.int32),
+                jnp.asarray(atlas16),
+                jnp.asarray(uv),
+            )
+        )
+        for i in range(3)
+    ]
+    joint = _sample_atlas_rect_joint_nbhd(
+        jnp.asarray(np.tile(j_rects[0], (n_s, 1)), jnp.int32),
+        jnp.asarray(np.tile(j_dims[0], (n_s, 1, 1)), jnp.int32),
+        jnp.asarray(j_atlas),
+        jnp.asarray(uv),
+    )
+    for a, b in zip(sep, joint):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_joint_pack_atlas_nbhd_rejects_non_pow2():
+    """Non-power-of-two (or non-dividing) dim ratios cannot satisfy the
+    bitwise proof -> the packer must refuse so callers keep the exact
+    separate-gather path."""
+    from syzygy_tpu.assets.types import (
+        TextureLibrary,
+        joint_pack_atlas_nbhd,
+        quad_pack_atlas,
+    )
+
+    lib = TextureLibrary()
+    lib.register("c", np.ones((12, 12, 4), np.float32))
+    lib.register("n", np.ones((8, 8, 4), np.float32))  # 12/8 not integral
+    lib.register("o", np.ones((4, 4, 4), np.float32))  # 12/4 = 3: not pow2
+    atlas, rects = lib.as_atlas()
+    atlas16 = quad_pack_atlas(atlas, rects)
+    assert joint_pack_atlas_nbhd(atlas16, rects, np.array([[0, 1, 1]])) is None
+    assert joint_pack_atlas_nbhd(atlas16, rects, np.array([[0, 2, 2]])) is None
+    # pow2 ratios qualify
+    ok = joint_pack_atlas_nbhd(atlas16, rects, np.array([[1, 1, 2]]))
+    assert ok is not None and ok[0].shape[-1] == 108
+
+
+def test_joint_material_atlas_mixed_frame_bitwise():
+    """pack_geometry(joint_pack_mixed=True) on the mixed-dimension chess
+    flagship (512/256/128 board, 256/256/64 pieces): the SAMPLED values
+    are bitwise (test_sample_atlas_rect_joint_nbhd_bitwise); the whole
+    frame agrees to one post-OETF ulp — the record width changes 49 -> 47,
+    so XLA fuses the downstream math differently (observed max 2.1e-7 on
+    0.2% of pixels; the share_sun_pcf / sky row-chunk reassociation
+    precedent)."""
+    from syzygy_tpu.assets.chess import flagship_scene
+    from syzygy_tpu.math.geometry import eulers_from_forward
+    from syzygy_tpu.renderer import RenderConfig, render_frame
+    from syzygy_tpu.scene import pack_frame_params, pack_geometry
+
+    scene, lib = flagship_scene()
+    scene.tick(0.0)
+    eye = np.array([13.0, -8.0, -14.0], np.float32)
+    target = np.array([0.0, -1.0, 0.0], np.float32)
+    scene.camera.position = tuple(eye)
+    scene.camera.euler_angles = tuple(
+        np.asarray(eulers_from_forward(target - eye))
+    )
+    config = RenderConfig(
+        width=192, height=96, shadow_dim=128, skyview_width=128,
+        skyview_height=64,
+    )
+    params = pack_frame_params(scene, config.width / config.height)
+    geo_sep = pack_geometry(scene, lib)
+    assert geo_sep.tex_atlas_joint is None  # mixed dims: no 48ch joint
+    geo_mix = pack_geometry(scene, lib, joint_pack_mixed=True)
+    assert geo_mix.tex_atlas_joint is not None
+    assert geo_mix.tex_atlas_joint.shape[-1] == 108
+    assert geo_mix.tex_dims_joint is not None
+    a = np.asarray(render_frame(geo_sep, params, config))
+    b = np.asarray(render_frame(geo_mix, params, config))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert float((a == b).mean()) > 0.99
