@@ -21,10 +21,22 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
 import os
 import struct
 
 import numpy as np
+
+_log = logging.getLogger("syzygy")
+
+# The reference parses with a default fastgltf::Parser{} (assets.cpp:421,
+# no extensions registered), which REFUSES any file whose
+# `extensionsRequired` names an extension the parser doesn't implement
+# (fastgltf Error::MissingExtensions). Mirror that: extensionsUsed is
+# informational and ignored; extensionsRequired must be a subset of what
+# this loader actually understands (currently: nothing — base glTF 2.0
+# only). See docs/PARITY.md "glTF support matrix".
+_SUPPORTED_REQUIRED_EXTENSIONS: frozenset[str] = frozenset()
 
 from syzygy_tpu.assets.types import (
     GeometrySurface,
@@ -82,6 +94,16 @@ class GLTFFile:
         self.binary = binary
         self.base_dir = base_dir
         self._buffer_cache: dict[int, bytes] = {}
+        missing = [
+            e
+            for e in gltf.get("extensionsRequired", [])
+            if e not in _SUPPORTED_REQUIRED_EXTENSIONS
+        ]
+        if missing:
+            raise ValueError(
+                "glTF requires unsupported extensions (fastgltf "
+                f"MissingExtensions semantics, assets.cpp:421): {missing}"
+            )
 
     @staticmethod
     def open(path: str) -> "GLTFFile":
@@ -218,13 +240,28 @@ def _load_materials(
     f: GLTFFile, library: TextureLibrary, fallback: MaterialData, name_prefix: str
 ) -> list[MaterialData]:
     """``uploadMaterialDataAsAssets`` (``assets.cpp:735-879``)."""
+
+    def tex_index(info: dict, mi: int, what: str) -> int | None:
+        idx = info.get("index")
+        if idx is not None and info.get("texCoord", 0) != 0:
+            _log.warning(
+                "material %d %s uses TEXCOORD_%d; only UV set 0 is loaded, "
+                "sampling with TEXCOORD_0",
+                mi,
+                what,
+                info.get("texCoord"),
+            )
+        return idx
+
     materials = []
     for mi, mat in enumerate(f.gltf.get("materials", [])):
         data = fallback
         pbr = mat.get("pbrMetallicRoughness", {})
 
-        rm_tex = pbr.get("metallicRoughnessTexture", {}).get("index")
-        occ_tex = mat.get("occlusionTexture", {}).get("index")
+        rm_tex = tex_index(
+            pbr.get("metallicRoughnessTexture", {}), mi, "metallicRoughness"
+        )
+        occ_tex = tex_index(mat.get("occlusionTexture", {}), mi, "occlusion")
         orm_id = fallback.orm
         src_tex = rm_tex if rm_tex is not None else occ_tex
         if src_tex is not None:
@@ -243,7 +280,7 @@ def _load_materials(
                 )
 
         color_id = fallback.color
-        color_tex = pbr.get("baseColorTexture", {}).get("index")
+        color_tex = tex_index(pbr.get("baseColorTexture", {}), mi, "baseColor")
         if color_tex is not None:
             image_index = _texture_image_index(f.gltf, color_tex)
             if image_index is not None:
@@ -254,7 +291,7 @@ def _load_materials(
                 )
 
         normal_id = fallback.normal
-        normal_tex = mat.get("normalTexture", {}).get("index")
+        normal_tex = tex_index(mat.get("normalTexture", {}), mi, "normal")
         if normal_tex is not None:
             image_index = _texture_image_index(f.gltf, normal_tex)
             if image_index is not None:
@@ -282,11 +319,31 @@ def _load_meshes(
         vert_base = 0
         tri_base = 0
         for prim in gmesh.get("primitives", []):
-            if prim.get("mode", 4) != 4:  # TRIANGLES only
-                continue
             attrs = prim.get("attributes", {})
-            if "POSITION" not in attrs or "indices" not in prim:
-                continue  # reference requires indices + positions (:905-917)
+            # fastgltf-parity primitive gating (assets.cpp:905-933):
+            # non-indexed / position-less primitives WARN and skip;
+            # non-Triangles modes WARN and load as triangles anyway
+            if "indices" not in prim:
+                _log.warning(
+                    "glTF mesh primitive had no valid indices accessor. "
+                    "It will be skipped."
+                )
+                continue
+            if "POSITION" not in attrs:
+                _log.warning(
+                    "glTF mesh primitive had no valid vertices accessor. "
+                    "It will be skipped."
+                )
+                continue
+            if prim.get("mode", 4) != 4:
+                _log.warning(
+                    "Loading glTF mesh primitive as Triangles mode when "
+                    "it is not."
+                )
+            # TANGENT / TEXCOORD_1+ / skinning attributes are intentionally
+            # ignored: normal mapping derives the tangent frame per pixel
+            # (kernels.resolve._cotangent_frame_normal, offscreen.frag:25-43)
+            # and only UV set 0 is sampled — see docs/PARITY.md matrix.
             pos = f.accessor(attrs["POSITION"]).astype(np.float32)
             n = pos.shape[0]
             nrm = (
@@ -309,6 +366,8 @@ def _load_meshes(
                 col = np.ones((n, 4), np.float32)
 
             idx = f.accessor(prim["indices"]).astype(np.int64).reshape(-1)
+            if idx.size % 3:  # non-Triangles modes may not divide by 3
+                idx = idx[: idx.size - idx.size % 3]
             prim_tris = idx.reshape(-1, 3).astype(np.int32) + vert_base
 
             mat_index = prim.get("material")
@@ -407,9 +466,9 @@ def load_gltf_scene(path: str, library: TextureLibrary | None = None):
     mesh_by_index: dict[int, Mesh] = {}
     li = 0
     for mi, gmesh in enumerate(f.gltf.get("meshes", [])):
+        # must mirror _load_meshes' skip logic (non-Triangles modes load)
         has_tris = any(
-            p.get("mode", 4) == 4 and "POSITION" in p.get("attributes", {})
-            and "indices" in p
+            "POSITION" in p.get("attributes", {}) and "indices" in p
             for p in gmesh.get("primitives", [])
         )
         if has_tris and li < len(meshes):

@@ -333,7 +333,7 @@ class VisibilityBuffer(NamedTuple):
 
 def _chunk_loop(
     coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
-    *, chunk_base, tile_h, tile_w, chunk, depth_only,
+    *, chunk_base, tile_h, tile_w, chunk, depth_only, unroll=False,
 ):
     """Iterate one coefficient chunk over the (tile_h, tile_w) pixel tile.
 
@@ -401,7 +401,12 @@ def _chunk_loop(
 
         return carry
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    # Full unroll is the only Mosaic-supported unroll variant (landmine 8).
+    # The serial 64-step loop costs ~205 ns/step on device against ~30 ns
+    # of visible scalar work (tools/raster_occupancy_probe.py two-raster
+    # fit) — unrolling lets Mosaic schedule the scalar loads/branches
+    # across steps. Identical semantics/order either way.
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk if unroll else 1)
 
 
 def _raster_kernel(
@@ -416,6 +421,7 @@ def _raster_kernel(
     tile_w: int,
     chunk: int,
     depth_only: bool,
+    unroll: bool,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -435,13 +441,15 @@ def _raster_kernel(
         _chunk_loop(
             coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
             chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            depth_only=depth_only,
+            depth_only=depth_only, unroll=unroll,
         )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "chunk", "depth_only"),
+    static_argnames=(
+        "width", "height", "tile_h", "tile_w", "chunk", "depth_only", "unroll",
+    ),
 )
 def rasterize(
     setup: TriSetup,
@@ -451,6 +459,7 @@ def rasterize(
     tile_w: int = TILE_W,
     chunk: int = CHUNK,
     depth_only: bool = False,
+    unroll: bool = False,
 ) -> VisibilityBuffer:
     """Run the visibility kernel. Target dims must be tile multiples. The
     target's global pixel origin is pre-folded into the setup coefficients
@@ -466,6 +475,7 @@ def rasterize(
         tile_w=tile_w,
         chunk=chunk,
         depth_only=depth_only,
+        unroll=unroll,
     )
 
     out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]
@@ -569,6 +579,7 @@ def _raster_kernel_listed(
     chunk: int,
     tiles_x: int,
     depth_only: bool,
+    unroll: bool,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -589,14 +600,15 @@ def _raster_kernel_listed(
         _chunk_loop(
             coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
             chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            depth_only=depth_only,
+            depth_only=depth_only, unroll=unroll,
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "capacity", "tile_h", "tile_w", "chunk", "depth_only",
+        "width", "height", "capacity", "tile_h", "tile_w", "chunk",
+        "depth_only", "unroll",
     ),
 )
 def rasterize_listed(
@@ -608,6 +620,7 @@ def rasterize_listed(
     tile_w: int = TILE_W,
     chunk: int = CHUNK,
     depth_only: bool = False,
+    unroll: bool = False,
     table: jnp.ndarray | None = None,
     counts: jnp.ndarray | None = None,
 ):
@@ -648,6 +661,7 @@ def rasterize_listed(
         chunk=chunk,
         tiles_x=tiles_x,
         depth_only=depth_only,
+        unroll=unroll,
     )
 
     out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]

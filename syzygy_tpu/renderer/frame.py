@@ -96,6 +96,7 @@ def _dispatch_raster(
                     tile_w=tile_w,
                     chunk=chunk,
                     depth_only=depth_only,
+                    unroll=config.raster_unroll,
                     table=table,
                     counts=counts,
                 )
@@ -115,6 +116,7 @@ def _dispatch_raster(
                     tile_w=tile_w,
                     chunk=chunk,
                     depth_only=depth_only,
+                    unroll=config.raster_unroll,
                 ),
             )
     return rasterize(
@@ -125,6 +127,7 @@ def _dispatch_raster(
         tile_w=tile_w,
         chunk=chunk,
         depth_only=depth_only,
+        unroll=config.raster_unroll,
     )
 
 
@@ -339,6 +342,13 @@ class RenderConfig:
     raster_tile_h: int = 64
     raster_tile_w: int = 128
     raster_chunk: int = 64
+    # fully unroll the raster kernels' serial per-chunk triangle loop
+    # (Mosaic supports only unroll=1 or full — landmine 8). Identical
+    # semantics and processing order; purely a scheduling knob. Motivation:
+    # the two-raster fit (tools/raster_occupancy_probe.py) puts the serial
+    # step at ~205 ns against ~30 ns of visible scalar work, and the dense
+    # camera raster spends ~75% of its 65 ms there.
+    raster_unroll: bool = False
     # sky camera pass row chunking (0 = auto): the pass runs as lax.map over
     # this many row blocks. Per-pixel math is unchanged (differences stay at
     # XLA fusion/reassociation noise, observed <= ~2e-5); needed because

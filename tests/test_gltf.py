@@ -471,3 +471,150 @@ def test_non_indexed_primitive_rejected(tmp_path):
     path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
     meshes, _ = load_gltf_meshes(path)
     assert meshes == []
+
+
+def test_u8_and_u32_index_widths(tmp_path):
+    """u8 (5121) and u32 (5125) index accessors load (fastgltf accepts all
+    three index widths; assets.cpp:948-961 copies them into uint32)."""
+    for comp, dtype in ((5121, np.uint8), (5125, np.uint32)):
+        b = _GLBBuilder()
+        pos = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+        )
+        idx = np.array([0, 1, 2, 2, 1, 3], dtype)
+        pos_acc = b.accessor(
+            bufferView=b.view(pos.tobytes()),
+            componentType=5126,
+            count=4,
+            type="VEC3",
+        )
+        idx_acc = b.accessor(
+            bufferView=b.view(idx.tobytes()),
+            componentType=comp,
+            count=6,
+            type="SCALAR",
+        )
+        prim = {"attributes": {"POSITION": pos_acc}, "indices": idx_acc}
+        path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary(), f"i{comp}.glb")
+        meshes, _ = load_gltf_meshes(path)
+        assert meshes[0].triangles.shape == (2, 3)
+        np.testing.assert_array_equal(
+            meshes[0].triangles, idx.reshape(2, 3).astype(np.int32)
+        )
+
+
+def test_non_indexed_primitive_skipped_with_warning(tmp_path, caplog):
+    """Non-indexed primitives warn and skip, fastgltf-parity
+    (assets.cpp:912-917: 'no valid indices accessor. It will be
+    skipped.')."""
+    import logging
+
+    b = _GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    pos_acc = b.accessor(
+        bufferView=b.view(pos.tobytes()),
+        componentType=5126,
+        count=3,
+        type="VEC3",
+    )
+    non_indexed = {"attributes": {"POSITION": pos_acc}}
+    indexed = _tri_prim(b, {})
+    path = _wrap_glb(tmp_path, b.gltf([non_indexed, indexed]), b.binary())
+    with caplog.at_level(logging.WARNING, logger="syzygy"):
+        meshes, _ = load_gltf_meshes(path)
+    assert any("no valid indices" in r.message for r in caplog.records)
+    # the indexed primitive still loads
+    assert len(meshes) == 1 and meshes[0].triangles.shape == (1, 3)
+
+
+def test_non_triangle_mode_loads_as_triangles(tmp_path, caplog):
+    """Non-Triangles primitive modes WARN but load as triangles — the
+    reference's exact behavior (assets.cpp:929-933: 'Loading glTF mesh
+    primitive as Triangles mode when it is not.')."""
+    import logging
+
+    b = _GLBBuilder()
+    prim = _tri_prim(b, {})
+    prim["mode"] = 1  # LINES
+    path = _wrap_glb(tmp_path, b.gltf([prim]), b.binary())
+    with caplog.at_level(logging.WARNING, logger="syzygy"):
+        meshes, _ = load_gltf_meshes(path)
+    assert any("as Triangles mode" in r.message for r in caplog.records)
+    assert meshes[0].triangles.shape == (1, 3)
+
+
+def test_required_extension_rejected(tmp_path):
+    """extensionsRequired naming an unimplemented extension must refuse the
+    file (default fastgltf::Parser{} MissingExtensions semantics,
+    assets.cpp:421); extensionsUsed alone is informational and loads."""
+    b = _GLBBuilder()
+    prim = _tri_prim(b, {})
+    gltf = b.gltf([prim])
+    gltf["extensionsRequired"] = ["KHR_draco_mesh_compression"]
+    gltf["extensionsUsed"] = ["KHR_draco_mesh_compression"]
+    path = _wrap_glb(tmp_path, gltf, b.binary())
+    with pytest.raises(ValueError, match="KHR_draco_mesh_compression"):
+        load_gltf_meshes(path)
+
+    b2 = _GLBBuilder()
+    prim2 = _tri_prim(b2, {})
+    gltf2 = b2.gltf([prim2])
+    gltf2["extensionsUsed"] = ["KHR_materials_specular"]  # used, not required
+    path2 = _wrap_glb(tmp_path, gltf2, b2.binary(), "used_only.glb")
+    meshes, _ = load_gltf_meshes(path2)
+    assert len(meshes) == 1
+
+
+def test_tangent_and_second_uv_set_tolerated(tmp_path, caplog):
+    """ABeautifulGame-class content: TANGENT attributes are ignored (the
+    tangent frame derives per pixel, offscreen.frag:25-43) and TEXCOORD_1
+    attributes load without error; a material sampling UV set 1 warns and
+    falls back to set 0."""
+    import io as _io
+    import logging
+
+    from PIL import Image
+
+    b = _GLBBuilder()
+    tangent = np.tile(
+        np.array([[1, 0, 0, 1]], np.float32), (3, 1)
+    )
+    uv1 = np.zeros((3, 2), np.float32)
+    tan_acc = b.accessor(
+        bufferView=b.view(tangent.tobytes()),
+        componentType=5126,
+        count=3,
+        type="VEC4",
+    )
+    uv1_acc = b.accessor(
+        bufferView=b.view(uv1.tobytes()),
+        componentType=5126,
+        count=3,
+        type="VEC2",
+    )
+    prim = _tri_prim(b, {"TANGENT": tan_acc, "TEXCOORD_1": uv1_acc})
+    prim["material"] = 0
+    gltf = b.gltf([prim])
+    buf = _io.BytesIO()
+    Image.new("RGBA", (1, 1), (255, 128, 0, 255)).save(buf, "PNG")
+    import base64
+
+    gltf["images"] = [
+        {
+            "uri": "data:image/png;base64,"
+            + base64.b64encode(buf.getvalue()).decode()
+        }
+    ]
+    gltf["textures"] = [{"source": 0}]
+    gltf["materials"] = [
+        {
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0, "texCoord": 1}
+            }
+        }
+    ]
+    path = _wrap_glb(tmp_path, gltf, b.binary())
+    with caplog.at_level(logging.WARNING, logger="syzygy"):
+        meshes, lib = load_gltf_meshes(path)
+    assert any("TEXCOORD_1" in r.message for r in caplog.records)
+    assert meshes[0].triangles.shape == (1, 3)
