@@ -207,9 +207,8 @@ def main() -> None:
         # static skip is bitwise-identical when no material is metallic
         metallic_reflection=scene_uses_metallic(scene, library),
     )
-    geometry = place_on_accelerator(
-        pack_geometry(scene, library, mipmaps=args.mipmaps)
-    )
+    geometry_host = pack_geometry(scene, library, mipmaps=args.mipmaps)
+    geometry = place_on_accelerator(geometry_host)
     aspect = args.width / args.height
     params = pack_frame_params(scene, aspect, debug_lines=args.debug_lines)
     spec = frame_param_spec(params)
@@ -272,9 +271,10 @@ def main() -> None:
             watch_mtime = os.stat(args.watch).st_mtime
             try:
                 scene = load_scene(args.watch, mesh_by_name.get)
-                geometry = place_on_accelerator(
-                    pack_geometry(scene, library, mipmaps=args.mipmaps)
+                geometry_host = pack_geometry(
+                    scene, library, mipmaps=args.mipmaps
                 )
+                geometry = place_on_accelerator(geometry_host)
                 log.info("reloaded %s", args.watch)
             except Exception as e:  # keep rendering the last good scene
                 log.error("reload failed (%s); keeping previous scene", e)
@@ -305,6 +305,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if frame_idx == 0:
             log.info("first frame (incl. compile): %.1fs", dt)
+            # Draw Results table (ui/engineui.cpp:111-126) — headless log
+            # analog; recomputed only when the dispatched work can change.
+            from syzygy_tpu.renderer.stats import frame_draw_stats
+
+            for name, stat in frame_draw_stats(
+                params, geometry_host, config
+            ).items():
+                log.info("draw results [%s]: %s", name, stat)
         else:
             fps_history.write(1.0 / max(dt, 1e-9))
         write_png(os.path.join(args.out, f"frame_{frame_idx:04d}.png"), image)

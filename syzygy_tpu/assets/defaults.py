@@ -4,8 +4,10 @@ Reproduces ``AssetLibrary::loadDefaultAssets``
 (``assets/assets.cpp:1286-1614``): 64x64 grey checkerboard color map, flat
 normal map, non-occluded-dielectric ORM map, plane + cube meshes (CW front
 faces in the +y-down engine basis). The UV sphere has no reference equivalent
-(``assets/sphere.glb`` in this repo is an LFS stub) — it stands in for the
-driver's config-2 sphere target.
+in ``loadDefaultAssets`` — the reference ships it as ``assets/sphere.glb``
+(a real 117 KB GLB in this repo too, loaded by ``tests/test_gltf.py``);
+the procedural ``sphere_mesh`` here stands in when callers want a mesh
+without touching the loader.
 """
 
 from __future__ import annotations

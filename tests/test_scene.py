@@ -289,3 +289,55 @@ def test_scene_uses_metallic_detection():
         cube_mesh(mat2), "m", [TransformHost.make((0, 0, 0))]
     )
     assert scene_uses_metallic(s2, lib) is True
+
+
+def test_frame_draw_stats():
+    """Draw Results counters (renderer/pipelines.hpp:39-44, surfaced at
+    ui/engineui.cpp:111-126): the host mirror must agree with the packed
+    soup and with _shadow_pass's activity gate."""
+    import numpy as np
+
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.renderer.stats import frame_draw_stats
+    from syzygy_tpu.scene import default_scene, pack_frame_params, pack_geometry
+
+    scene, library = default_scene()
+    scene.sun_animation.time = 0.35
+    scene.sun_animation.frozen = True
+    scene.tick(0.0)
+    geometry = pack_geometry(scene, library)
+    params = pack_frame_params(scene, 2.0, debug_lines=True)
+    config = RenderConfig(width=256, height=128, shadow_dim=256)
+
+    stats = frame_draw_stats(params, geometry, config)
+    n_tris = int(np.asarray(geometry.tri_valid).sum())
+    assert stats["gbuffer"].draw_calls == 1
+    assert stats["gbuffer"].indices_drawn == 3 * n_tris
+    assert stats["gbuffer"].vertices_drawn == geometry.positions.shape[0]
+    # default scene: sun always + spots; the midday moon is dim enough for
+    # the shadowless default gate but at t=0.35 daylight makes eps strict —
+    # either way the count is bounded by the map budget and >= 1.
+    assert 1 <= stats["shadows"].draw_calls <= config.n_shadow_maps
+    shadow_tris = int(
+        (
+            np.asarray(geometry.tri_valid) & np.asarray(geometry.tri_casts_shadow)
+        ).sum()
+    )
+    assert (
+        stats["shadows"].indices_drawn
+        == stats["shadows"].draw_calls * 3 * shadow_tris
+    )
+    # debug lines: reference-exact 2 endpoints per segment
+    n_seg = int(np.asarray(params.debug_valid).sum())
+    assert n_seg > 0
+    assert stats["debug_lines"] == (1, 2 * n_seg, 2 * n_seg)
+    assert stats["total"].draw_calls == (
+        1 + stats["shadows"].draw_calls + 1
+    )
+
+    # eps=0 keeps every emitting directional: count can only grow
+    config0 = RenderConfig(
+        width=256, height=128, shadow_dim=256, shadowless_strength_eps=0.0
+    )
+    stats0 = frame_draw_stats(params, geometry, config0)
+    assert stats0["shadows"].draw_calls >= stats["shadows"].draw_calls
