@@ -27,6 +27,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from syzygy_tpu.kernels.common import match_vma
+
 from syzygy_tpu.scene.atmosphere import AtmospherePacked
 
 TRANSMITTANCE_W = 512  # common.glinl:13
@@ -486,7 +488,7 @@ def luminance_scattering_integral(
         0,
         SKYVIEW_SAMPLES,
         lambda i, lum: body(jnp.float32(i), lum),
-        jnp.zeros(shape, jnp.float32),
+        match_vma(jnp.zeros(shape, jnp.float32), atmo, lut, sample_distance),
     )
 
 
@@ -557,7 +559,12 @@ def luminance_scattering_integral_fast(
         0,
         SKYVIEW_SAMPLES,
         lambda i, c: body(jnp.float32(i), c),
-        (jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)),
+        match_vma(
+            (jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)),
+            atmo,
+            lut,
+            sample_distance,
+        ),
     )
     return luminance
 
@@ -600,7 +607,7 @@ def compute_transmittance_lut(
         0,
         TRANSMITTANCE_SAMPLES,
         lambda i, tr: body(jnp.float32(i), tr),
-        jnp.ones((height, width, 3), jnp.float32),
+        match_vma(jnp.ones((height, width, 3), jnp.float32), atmo),
     )
     return jnp.where(hit[..., None], transmittance, 1.0)
 
@@ -668,7 +675,9 @@ def _scattering_integral_components(atmo, lut, origin, direction, sample_distanc
         )
 
     shape = (*sample_distance.shape, 3)
-    zero = jnp.zeros(shape, jnp.float32)
+    zero = match_vma(
+        jnp.zeros(shape, jnp.float32), atmo, lut, sample_distance
+    )
     return jax.lax.fori_loop(
         0, SKYVIEW_SAMPLES, lambda i, c: body(jnp.float32(i), c), (zero, zero)
     )

@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from syzygy_tpu.kernels.common import match_vma
 from syzygy_tpu.kernels.resolve import GBuffer
 from syzygy_tpu.scene.camera import CameraPacked
 from syzygy_tpu.scene.lights import DirectionalLight, SpotLight
@@ -422,7 +423,11 @@ def deferred_lighting(
     )
 
     h, w = gbuffer.diffuse.shape[:2]
-    total = jnp.zeros((h, w, 3), jnp.float32)
+    # carry vma must match the loop bodies' (sharded inputs) under
+    # shard_map(check_vma=True) — metadata-only, no-op single-chip
+    total = match_vma(
+        jnp.zeros((h, w, 3), jnp.float32), gbuffer, shadow_maps, directional
+    )
 
     # Dynamic-trip-count loops so only ACTIVE lights execute. lax.cond per
     # static slot (the earlier structure) gets flattened to select by the

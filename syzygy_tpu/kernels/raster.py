@@ -62,6 +62,24 @@ class TriSetup(NamedTuple):
 # bbox, exact in f32 up to 4096 tiles/axis — the kernel's per-triangle
 # skip test; invalid slots encode an empty range)
 _COEFF_WIDTH = 12
+
+
+def _out_vma(*arrays) -> frozenset:
+    """Varying-manual-axes for pallas outputs: the union of the inputs'.
+
+    Under ``jax.shard_map(check_vma=True)`` every output abstract value
+    must state which mesh axes it varies over; ``pallas_call`` can't infer
+    it, so we propagate the standard dataflow rule (outputs vary over every
+    axis an input varies over) by hand. Outside shard_map this is the empty
+    set, which ``ShapeDtypeStruct`` treats as unvarying (VERDICT r3 #7)."""
+    vma: frozenset = frozenset()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vma |= frozenset(v)
+    return vma
+
+
 _TILE_PACK = 4096.0
 
 
@@ -409,6 +427,98 @@ def _chunk_loop(
     jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk if unroll else 1)
 
 
+def _chunk_loop_vector(
+    coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
+    *, chunk_base, tile_h, tile_w, chunk, depth_only,
+):
+    """Branch-free chunk evaluation: every triangle's plane eval is emitted
+    unrolled WITHOUT the bbox branch or the serial depth read-modify-write
+    chain, and a pairwise select tree picks the winner per pixel.
+
+    Motivation (tools/raster_occupancy_probe.py, r8): the serial loop costs
+    ~205 ns/STEP (scalar loads + branch + the depth_ref dependency) against
+    ~30 ns of visible scalar work; full unroll alone recovered only ~1%
+    (tools/raster_unroll_ab.py) because the per-step branch and the
+    depth-buffer chain still serialize. Here the 64 evals are fully
+    independent (Mosaic can pipeline them) and the only cross-triangle
+    dependency is a log2(64)-deep select tree.
+
+    Semantics are the serial loop's: per-pixel arithmetic uses the
+    identical scalar-coefficient × (tile_h, tile_w)-plane expressions, the
+    winner is the maximal reverse-Z depth with the LARGEST in-chunk index
+    on ties (the serial ``z >= current`` overwrite: the tree's ``>=``
+    toward the later half), and the chunk's best commits only where it
+    beats the carried depth with the same ``>=``. NOT bitwise: even with
+    textually identical expressions the compiler contracts
+    ``a0 + be0*px + g0*py`` into fma differently across the two program
+    shapes and the terms cancel — barycentrics drift <= ~8e-6 absolute
+    (the sky_row_chunks <= 2e-5 equivalence class; the grouped (8, h, w)
+    broadcast variant drifted the same way). Tri ids/depths stay exact in
+    practice away from knife-edge z ties
+    (tests/test_raster.py::test_vector_chunk_equivalence)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+        jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+        jnp.float32
+    )
+    px = tx.astype(jnp.float32) * tile_w + col + 0.5
+    py = ty.astype(jnp.float32) * tile_h + row + 0.5
+
+    planes = []
+    for t in range(chunk):
+        a0 = coeffs_ref[t, 0]
+        be0 = coeffs_ref[t, 1]
+        g0 = coeffs_ref[t, 2]
+        a1 = coeffs_ref[t, 3]
+        be1 = coeffs_ref[t, 4]
+        g1 = coeffs_ref[t, 5]
+        z2 = coeffs_ref[t, 6]
+        dz0 = coeffs_ref[t, 7]
+        dz1 = coeffs_ref[t, 8]
+        valid = coeffs_ref[t, 9]
+
+        bb0 = a0 + be0 * px + g0 * py
+        bb1 = a1 + be1 * px + g1 * py
+        bb2 = 1.0 - bb0 - bb1
+        z = z2 + dz0 * bb0 + dz1 * bb1
+        cand = (
+            (bb0 >= 0.0)
+            & (bb1 >= 0.0)
+            & (bb2 >= 0.0)
+            & (z <= 1.0)
+            & (z >= 0.0)
+            & (valid > 0.0)
+        )
+        zm = jnp.where(cand, z, -1.0)  # carried depth >= 0: -1 never wins
+        if depth_only:
+            planes.append((zm,))
+        else:
+            planes.append((zm, jnp.int32(chunk_base + t), bb0, bb1))
+
+    # pairwise tree, later index wins ties (serial z >= current overwrite)
+    while len(planes) > 1:
+        nxt = []
+        for i in range(0, len(planes) - 1, 2):
+            lo, hi = planes[i], planes[i + 1]
+            take_hi = hi[0] >= lo[0]
+            nxt.append(
+                tuple(jnp.where(take_hi, h, l) for l, h in zip(lo, hi))
+            )
+        if len(planes) % 2:
+            nxt.append(planes[-1])
+        planes = nxt
+    best = planes[0]
+
+    current = depth_ref[:]
+    hit = best[0] >= current
+    depth_ref[:] = jnp.where(hit, best[0], current)
+    if not depth_only:
+        tri_ref[:] = jnp.where(hit, best[1], tri_ref[:])
+        b0_ref[:] = jnp.where(hit, best[2], b0_ref[:])
+        b1_ref[:] = jnp.where(hit, best[3], b1_ref[:])
+
+
 def _raster_kernel(
     mask_ref,  # SMEM (8, tiles_y * tiles_x) i32: chunk-rows c//8*8 .. +8
     coeffs_ref,  # VMEM (CHUNK, 12) f32
@@ -422,6 +532,7 @@ def _raster_kernel(
     chunk: int,
     depth_only: bool,
     unroll: bool,
+    vector: bool,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -438,17 +549,21 @@ def _raster_kernel(
 
     @pl.when(mask_ref[c % 8, ty * n_tx + tx] != 0)
     def _work():
-        _chunk_loop(
+        loop = _chunk_loop_vector if vector else functools.partial(
+            _chunk_loop, unroll=unroll
+        )
+        loop(
             coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
             chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            depth_only=depth_only, unroll=unroll,
+            depth_only=depth_only,
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tile_h", "tile_w", "chunk", "depth_only", "unroll",
+        "width", "height", "tile_h", "tile_w", "chunk", "depth_only",
+        "unroll", "vector",
     ),
 )
 def rasterize(
@@ -460,6 +575,7 @@ def rasterize(
     chunk: int = CHUNK,
     depth_only: bool = False,
     unroll: bool = False,
+    vector: bool = False,
 ) -> VisibilityBuffer:
     """Run the visibility kernel. Target dims must be tile multiples. The
     target's global pixel origin is pre-folded into the setup coefficients
@@ -476,14 +592,16 @@ def rasterize(
         chunk=chunk,
         depth_only=depth_only,
         unroll=unroll,
+        vector=vector,
     )
 
-    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]
+    vma = _out_vma(setup.chunk_mask, setup.coeffs)
+    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma)]
     if not depth_only:
         out_shape += [
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma),
         ]
 
     tile_spec = pl.BlockSpec(
@@ -580,6 +698,7 @@ def _raster_kernel_listed(
     tiles_x: int,
     depth_only: bool,
     unroll: bool,
+    vector: bool,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -597,10 +716,13 @@ def _raster_kernel_listed(
 
     @pl.when(s < counts_ref[tile])  # steps past the list are pure no-ops
     def _work():
-        _chunk_loop(
+        loop = _chunk_loop_vector if vector else functools.partial(
+            _chunk_loop, unroll=unroll
+        )
+        loop(
             coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
             chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            depth_only=depth_only, unroll=unroll,
+            depth_only=depth_only,
         )
 
 
@@ -608,7 +730,7 @@ def _raster_kernel_listed(
     jax.jit,
     static_argnames=(
         "width", "height", "capacity", "tile_h", "tile_w", "chunk",
-        "depth_only", "unroll",
+        "depth_only", "unroll", "vector",
     ),
 )
 def rasterize_listed(
@@ -621,6 +743,7 @@ def rasterize_listed(
     chunk: int = CHUNK,
     depth_only: bool = False,
     unroll: bool = False,
+    vector: bool = False,
     table: jnp.ndarray | None = None,
     counts: jnp.ndarray | None = None,
 ):
@@ -662,14 +785,16 @@ def rasterize_listed(
         tiles_x=tiles_x,
         depth_only=depth_only,
         unroll=unroll,
+        vector=vector,
     )
 
-    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]
+    vma = _out_vma(table, counts, coeffs)
+    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma)]
     if not depth_only:
         out_shape += [
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma),
         ]
 
     tile_spec = pl.BlockSpec(
@@ -677,13 +802,24 @@ def rasterize_listed(
         lambda ty, tx, s, tbl, cnt: (ty, tx),
         memory_space=pltpu.VMEM,
     )
+    # KNOWN vma-checker GAP: under shard_map(check_vma=True) this index_map
+    # is rejected — the scalar-prefetch ref-get discharges to a
+    # dynamic_slice mixing the varying table with unvarying grid indices,
+    # and the discharge machinery is not vma-aware (pcasting the indices
+    # just moves the error into an internal pvary). Until JAX supports vma
+    # through PrefetchScalarGridSpec index_maps, sharded tracing with the
+    # checker ON must disable the listed raster (tile_list_capacity=0) —
+    # tests/test_frame.py::test_sharded_vma_checked traces exactly that.
+    def _coeff_index(ty, tx, s, tbl, cnt):
+        return tbl[ty * tiles_x + tx, s], 0
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x, cap),
         in_specs=[
             pl.BlockSpec(
                 (chunk, _COEFF_WIDTH),
-                lambda ty, tx, s, tbl, cnt: (tbl[ty * tiles_x + tx, s], 0),
+                _coeff_index,
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -31,7 +31,7 @@ from syzygy_tpu.kernels.atmosphere import (
     compute_transmittance_lut,
     pack_lut,
 )
-from syzygy_tpu.kernels.common import cdiv as cdiv_static, round_up
+from syzygy_tpu.kernels.common import cdiv as cdiv_static, match_vma, round_up
 from syzygy_tpu.kernels.lighting import deferred_lighting
 from syzygy_tpu.kernels.raster import (
     CHUNK,
@@ -97,6 +97,7 @@ def _dispatch_raster(
                     chunk=chunk,
                     depth_only=depth_only,
                     unroll=config.raster_unroll,
+                    vector=config.raster_vector,
                     table=table,
                     counts=counts,
                 )
@@ -117,6 +118,7 @@ def _dispatch_raster(
                     chunk=chunk,
                     depth_only=depth_only,
                     unroll=config.raster_unroll,
+                    vector=config.raster_vector,
                 ),
             )
     return rasterize(
@@ -128,6 +130,7 @@ def _dispatch_raster(
         chunk=chunk,
         depth_only=depth_only,
         unroll=config.raster_unroll,
+        vector=config.raster_vector,
     )
 
 
@@ -347,8 +350,20 @@ class RenderConfig:
     # semantics and processing order; purely a scheduling knob. Motivation:
     # the two-raster fit (tools/raster_occupancy_probe.py) puts the serial
     # step at ~205 ns against ~30 ns of visible scalar work, and the dense
-    # camera raster spends ~75% of its 65 ms there.
-    raster_unroll: bool = False
+    # camera raster spends ~75% of its 65 ms there. Device BABA
+    # (tools/raster_unroll_ab.py, r8 session): dense 310.6/311.1 off vs
+    # 308.0/307.3 ON (-3 ms, consistent), default scene a wash
+    # (133.5/133.3) — so the ~205 ns step is load-latency-bound, not
+    # loop-overhead-bound; unroll stays ON for the small free win.
+    raster_unroll: bool = True
+    # vectorized chunk evaluation: replace the serial 64-step per-triangle
+    # loop with unrolled VPU plane evals + a depth-test select tree
+    # (kernels/raster.py::_chunk_loop_vector). Equivalent within fma
+    # contraction noise (barycentrics <= ~8e-6, the sky_row_chunks
+    # equivalence class; tri/depth exact away from knife-edge z ties);
+    # pays every triangle's tile eval but kills the ~205 ns/step serial
+    # scalar loop that dominates dense rasters.
+    raster_vector: bool = False
     # sky camera pass row chunking (0 = auto): the pass runs as lax.map over
     # this many row blocks. Per-pixel math is unchanged (differences stay at
     # XLA fusion/reassociation noise, observed <= ~2e-5); needed because
@@ -602,7 +617,9 @@ def _shadow_pass(
             0,
             jnp.sum(active.astype(jnp.int32)),
             raster_one,
-            jnp.zeros((n_maps, dim, dim), jnp.float32),
+            match_vma(
+                jnp.zeros((n_maps, dim, dim), jnp.float32), pv, active
+            ),
         )
     total_lights = N_DIRECTIONAL + MAX_SPOT_LIGHTS
     if maps.shape[0] < total_lights:

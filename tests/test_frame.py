@@ -137,6 +137,40 @@ def test_sharded_nondivisible_height_matches_single_chip(frame_setup):
     assert np.abs(out[0] - single).mean() < 2e-3
 
 
+def test_sharded_vma_checked(frame_setup):
+    """shard_map(check_vma=True) traces the production 1080p shape end to
+    end (VERDICT r3 #7): raster pallas outs carry vma, loop carries are
+    match_vma'd. The one JAX gap is the listed raster's scalar-prefetch
+    index_map (ref-get discharge is not vma-aware), so this traces with
+    tile_list_capacity=0; a spec/vma error anywhere else in the frame
+    graph fails HERE, at trace time, instead of at runtime on devices."""
+    scene, geometry, _, _ = frame_setup
+    import syzygy_tpu.parallel.sharding as sharding_mod
+    from syzygy_tpu.parallel import batch_params, make_mesh, render_frames_sharded
+    from syzygy_tpu.scene import pack_frame_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    config = RenderConfig(
+        width=1920, height=1080, n_shadow_maps=4, tile_list_capacity=0
+    )
+    params = pack_frame_params(scene, 1920 / 1080)
+    old = sharding_mod.CHECK_VMA
+    sharding_mod.CHECK_VMA = True
+    try:
+        for dp, sp in [(1, 2), (1, 8), (2, 4)]:
+            mesh = make_mesh(dp=dp, sp=sp)
+            batch = batch_params([params] * dp)
+            out = jax.eval_shape(
+                lambda g, b: render_frames_sharded(g, b, config, mesh),
+                geometry,
+                batch,
+            )
+            assert out.shape == (dp, 1080, 1920, 3), (dp, sp, out.shape)
+    finally:
+        sharding_mod.CHECK_VMA = old
+
+
 def test_sharded_1080p_spec_traces(frame_setup):
     """Trace-time shape check: render_frames_sharded must ACCEPT the
     production 1920x1080 shape at every sp (r3 it raised ValueError for

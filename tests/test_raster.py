@@ -270,3 +270,59 @@ def test_dispatch_raster_lossless_on_overflow():
         np.asarray(vis_a.depth), np.asarray(vis_b.depth)
     )
     np.testing.assert_array_equal(np.asarray(vis_a.b0), np.asarray(vis_b.b0))
+
+
+def test_vector_chunk_equivalence():
+    """raster_vector (the no-serial-loop VPU formulation) vs the serial
+    chunk loop: the DISCRETE visibility decisions (tri id, and depth — the
+    fixture's flat-z triangles make z independent of barycentrics) must be
+    bitwise, including equal-z last-wins ties, multi-chunk scenes, and the
+    listed kernel. Barycentrics are allowed fma-contraction noise: the
+    per-pixel expressions are textually identical, but XLA contracts
+    a0 + be0*px + g0*py into fma differently across the two program
+    shapes, and the terms cancel (measured <= ~8e-6 absolute — the same
+    equivalence class as sky_row_chunks' documented <= 2e-5)."""
+    from syzygy_tpu.kernels.raster import rasterize_listed
+
+    rng = np.random.default_rng(13)
+    n = 300
+    tris = []
+    for i in range(n):
+        cx, cy = rng.uniform(10, W - 10), rng.uniform(10, H - 10)
+        pts = rng.uniform(-14, 14, (3, 2)) + [cx, cy]
+        z = rng.uniform(0.05, 0.95)
+        tris.append([[p[0], p[1], z] for p in pts])
+    # exact-duplicate triangles at several indices: equal-z tie coverage
+    for src, dst in [(3, 77), (10, 200), (150, 299)]:
+        tris[dst] = tris[src]
+    clip = screen_to_clip(tris, W, H)
+    triangles = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    setup = setup_triangles(clip, triangles, np.ones(n, bool), W, H, 0)
+
+    def check(xa, xb, label):
+        np.testing.assert_array_equal(
+            np.asarray(xa.tri), np.asarray(xb.tri), err_msg=label + " tri"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(xa.depth), np.asarray(xb.depth),
+            err_msg=label + " depth",
+        )
+        for field in ("b0", "b1"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(xa, field)),
+                np.asarray(getattr(xb, field)),
+                atol=2e-5, rtol=0, err_msg=label + " " + field,
+            )
+
+    a = rasterize(setup, W, H)
+    b = rasterize(setup, W, H, vector=True)
+    check(a, b, "full")
+
+    da = rasterize(setup, W, H, depth_only=True)
+    db = rasterize(setup, W, H, depth_only=True, vector=True)
+    np.testing.assert_array_equal(np.asarray(da.depth), np.asarray(db.depth))
+
+    la, dropped_a = rasterize_listed(setup, W, H, capacity=16)
+    lb, dropped_b = rasterize_listed(setup, W, H, capacity=16, vector=True)
+    assert int(dropped_a) == int(dropped_b) == 0
+    check(la, lb, "listed")
