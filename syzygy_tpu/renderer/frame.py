@@ -362,8 +362,13 @@ class RenderConfig:
     # contraction noise (barycentrics <= ~8e-6, the sky_row_chunks
     # equivalence class; tri/depth exact away from knife-edge z ties);
     # pays every triangle's tile eval but kills the ~205 ns/step serial
-    # scalar loop that dominates dense rasters.
-    raster_vector: bool = False
+    # scalar loop that dominates dense rasters. Device BABA
+    # (tools/raster_vector_ab.py, r8 session): dense 308.6/307.4 off vs
+    # 237.0/238.1 ON (-23%), default 134.3 vs 130.6 — default ON. Chunk
+    # size must stay 64 under this path: 32/16 are catastrophic (1269/
+    # 3088 ms dense, tools/raster_vector_chunk_ab.py) — the per-grid-step
+    # block DMA + iteration overhead swamps the occupancy win.
+    raster_vector: bool = True
     # sky camera pass row chunking (0 = auto): the pass runs as lax.map over
     # this many row blocks. Per-pixel math is unchanged (differences stay at
     # XLA fusion/reassociation noise, observed <= ~2e-5); needed because
