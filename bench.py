@@ -17,14 +17,15 @@ measurements, docs/BENCHMARKS.md):
   frame slices its row on device.
 * Deep submission queues (50+ heavy frames in flight) wedge the remote
   worker (tools/tunnel_probe.py phase D hung; r1 saw crash loops), so
-  frames run in small GROUPS of 16: within a group, frame N+1's params are
+  frames run in small GROUPS: within a group, frame N+1's params are
   data-dependent on frame N's pixels (a device-side fold — chaining
   scalar programs is free), and one 4-byte fetch forces the whole group.
   This amortizes the per-wait tunnel round trip (~0.4 s) over the group
-  while staying far below the queue depth that wedges the worker
-  (tools/queue_depth_probe.py, r4 session: depth 16/20/24/32 =
-  137.3/131.7/131.9/129.2 ms/frame, no wedge at 32; 50 is known
-  pathological — group stays at 32, well inside the wedge boundary).
+  while staying below the queue depth that wedges the worker
+  (tools/queue_depth_probe.py: r4 session depth 16/20/24/32 =
+  137.3/131.7/131.9/129.2; r8 session 32/40/48 = 125.2/124.4/123.4
+  ms/frame, no wedge through 48 but the curve is plateaued and 50 is
+  known pathological — group stays at 40, a margin from the cliff).
   The result is an honest UPPER bound: no cross-group pipelining is
   counted.
 """
@@ -71,7 +72,7 @@ def _flagship_scene():
 
 
 def _measure_scene(
-    scene, library, config, frames: int = 64, group: int = 32,
+    scene, library, config, frames: int = 80, group: int = 40,
     pack_kwargs: dict | None = None,
 ) -> float:
     """Median ms/frame over groups of ``group`` chained frames, each group
