@@ -96,6 +96,18 @@ def main() -> None:
                         help="live property editing (PropertyTable analog): "
                         "seed this JSON with the scene, then re-render "
                         "whenever the file changes; loops until --frames")
+    parser.add_argument("--list-properties", action="store_true",
+                        help="print the reflection-discovered property "
+                        "table (name / value / reset default — the "
+                        "PropertyTable 3-column analog, "
+                        "ui/propertytable.hpp:28-226) and exit")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="PATH=VALUE",
+                        help="set one scene property by dotted path before "
+                        "rendering (e.g. camera.fov_degrees=90, "
+                        "atmosphere.sun_euler_angles=[1.2,0,0]); "
+                        "PATH=default resets to the discovered default; "
+                        "repeatable (see --list-properties)")
     parser.add_argument("--mipmaps", action="store_true",
                         help="trilinear mipmapped textures "
                         "(beyond-parity; reference is single-mip)")
@@ -192,6 +204,15 @@ def main() -> None:
     scene.camera.euler_angles = tuple(
         np.asarray(eulers_from_forward(look_target - eye))
     )
+    if args.set or args.list_properties:
+        from syzygy_tpu.app.properties import apply_set, discover, format_table
+
+        for spec in args.set:
+            path = apply_set(scene, spec)
+            log.info("set %s", path)
+        if args.list_properties:
+            print(format_table(discover(scene)))
+            return
     scene.tick(0.0)
 
     config = RenderConfig(

@@ -1,0 +1,126 @@
+"""Reflection-driven property table (the headless PropertyTable analog).
+
+The reference edits everything live through 3-column name/value/reset tables
+(``ui/propertytable.hpp:28-226``) with defaults from ``Scene``'s static
+members (``renderer/scene.cpp:52-91``) and transforms resetting to spawn
+values. These tests pin the discovery, set, and reset semantics.
+"""
+
+import numpy as np
+import pytest
+
+from syzygy_tpu.app.properties import (
+    apply_set,
+    discover,
+    format_table,
+    get_path,
+    reset_path,
+    set_path,
+)
+from syzygy_tpu.scene import default_scene
+from syzygy_tpu.scene.scene import InstanceAnimation
+
+
+@pytest.fixture()
+def scene():
+    s, _ = default_scene()
+    return s
+
+
+def test_discovery_covers_reference_property_groups(scene):
+    """Every group the reference's scene-controls window edits
+    (statelesswidgets.cpp:752-833) appears: sun animation, atmosphere,
+    camera, spotlights, instance flags + transforms."""
+    paths = {p.path for p in discover(scene)}
+    assert "sun_animation.time" in paths
+    assert "sun_animation.skip_night" in paths
+    assert "atmosphere.sun_euler_angles" in paths
+    assert "atmosphere.scattering_rayleigh_per_mm" in paths
+    assert "cameras[0].fov_degrees" in paths
+    assert "camera_speed" in paths
+    assert "spotlights[0].strength" in paths
+    assert "geometry[0].render" in paths
+    assert any(".transforms[0].translation" in p for p in paths)
+
+
+def test_defaults_match_reference_constants(scene):
+    """Reset defaults are the reference's static defaults
+    (scene.cpp:52-91): camera fov 70, speed 20, sun time 0.5."""
+    by_path = {p.path: p for p in discover(scene)}
+    assert by_path["cameras[0].fov_degrees"].default == 70.0
+    assert by_path["camera_speed"].default == 20.0
+    assert by_path["sun_animation.time"].default == 0.5
+    assert by_path["atmosphere.planet_radius_mm"].default == 6.360
+
+
+def test_set_and_reset_scalar(scene):
+    set_path(scene, "cameras[0].fov_degrees", 90)
+    assert scene.camera.fov_degrees == 90.0
+    reset_path(scene, "cameras[0].fov_degrees")
+    assert scene.camera.fov_degrees == 70.0
+
+
+def test_set_tuple_coercion(scene):
+    set_path(scene, "atmosphere.sun_euler_angles", [1.2, 0, 0.5])
+    assert scene.atmosphere.sun_euler_angles == (1.2, 0.0, 0.5)
+    with pytest.raises(ValueError):
+        set_path(scene, "atmosphere.sun_euler_angles", [1.0, 2.0])
+
+
+def test_set_enum_by_name(scene):
+    set_path(scene, "geometry[0].animation", "SPIN_ALONG_WORLD_UP")
+    assert scene.geometry[0].animation is InstanceAnimation.SPIN_ALONG_WORLD_UP
+
+
+def test_transform_writes_through_soa_views(scene):
+    """Transform edits must land in the SoA blocks pack_frame_params
+    reads, not just the row object."""
+    inst = scene.geometry[0]
+    set_path(scene, "geometry[0].transforms[0].translation", [5.0, -2.0, 3.0])
+    np.testing.assert_allclose(inst.translations[0], [5.0, -2.0, 3.0])
+
+
+def test_transform_resets_to_original(scene):
+    """The reference resets transforms to their spawn values, not to a
+    global constant."""
+    inst = scene.geometry[0]
+    orig = inst.originals[0].translation.copy()
+    set_path(scene, "geometry[0].transforms[0].translation", [9.0, 9.0, 9.0])
+    reset_path(scene, "geometry[0].transforms[0].translation")
+    np.testing.assert_allclose(inst.transforms[0].translation, orig)
+    np.testing.assert_allclose(inst.translations[0], orig)
+
+
+def test_apply_set_spec_and_camera_alias(scene):
+    apply_set(scene, "camera.fov_degrees=85.5")
+    assert scene.camera.fov_degrees == 85.5
+    apply_set(scene, "camera.fov_degrees=default")
+    assert scene.camera.fov_degrees == 70.0
+    apply_set(scene, "sun_animation.frozen=true")
+    assert scene.sun_animation.frozen is True
+
+
+def test_bool_string_coercion(scene):
+    set_path(scene, "render_atmosphere", "false")
+    assert scene.render_atmosphere is False
+    reset_path(scene, "render_atmosphere")
+    assert scene.render_atmosphere is True
+
+
+def test_get_path_and_bad_paths(scene):
+    assert get_path(scene, "camera_speed") == scene.camera_speed
+    with pytest.raises(KeyError):
+        get_path(scene, "cameras[0]")  # object, not a property
+    with pytest.raises((KeyError, AttributeError)):
+        set_path(scene, "nonsense.path", 1)
+    with pytest.raises(KeyError):
+        reset_path(scene, "atmosphere.not_a_field")
+
+
+def test_format_table_renders_columns_and_dirty_marker(scene):
+    set_path(scene, "cameras[0].fov_degrees", 90)
+    table = format_table(discover(scene))
+    lines = table.splitlines()
+    assert lines[0].split() == ["property", "value", "default"]
+    row = next(line for line in lines if "fov_degrees" in line)
+    assert "90" in row and "70" in row and row.rstrip().endswith("*")

@@ -86,11 +86,23 @@ def main():
         _scaling(cfg, cam, timed)
         return
     print("== per-stage (1080p, default scene) ==", flush=True)
-    state, vis, gb, smaps = _stage_geometry(geo, params, cfg)
-    timed("stage_geometry", lambda: _stage_geometry(geo, params, cfg))
+    # The decomposed 3-stage view needs the UNFUSED pipeline: under the
+    # r8 defaults (resolve_in_sky_chunks=True) _stage_geometry returns
+    # resolve RECORDS, not a G-buffer, and lighting runs inside the sky
+    # chunks. Full-frame rows below still use the production defaults.
+    import dataclasses
+
+    cfg_st = dataclasses.replace(
+        cfg,
+        resolve_in_sky_chunks=False,
+        fuse_lighting_sky_chunks=False,
+        fuse_lighting_sky=False,
+    )
+    state, vis, gb, smaps = _stage_geometry(geo, params, cfg_st)
+    timed("stage_geometry", lambda: _stage_geometry(geo, params, cfg_st))
     timed("stage_lighting", lambda: _stage_lighting(state, gb, smaps))
     lit = _stage_lighting(state, gb, smaps)
-    timed("stage_sky", lambda: _stage_sky(state, lit, vis.depth, gb, smaps, cfg))
+    timed("stage_sky", lambda: _stage_sky(state, lit, vis.depth, gb, smaps, cfg_st))
     timed("full frame", lambda: render_frame(geo, params, cfg))
 
     print("== config ladder ==", flush=True)
@@ -118,11 +130,9 @@ def main():
     params2 = pack_frame_params(sphere_scene, W / H)
     timed(
         "2 sphere gbuffer",
-        lambda: _stage_geometry(geo2, params2, cfg),
+        lambda: _stage_geometry(geo2, params2, cfg_st),
     )
     # 3: deferred + shadows, no atmosphere
-    import dataclasses
-
     cfg3 = dataclasses.replace(cfg, render_atmosphere=False)
     timed("3 deferred+shadows", lambda: render_frame(geo, params, cfg3))
     # 4/5: full atmosphere frame (default scene stands in for ABeautifulGame)
