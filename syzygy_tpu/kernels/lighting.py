@@ -126,7 +126,8 @@ _PCF_WINDOW_MAX_DIM = 2048  # windowed-segment table is O(dim^2 * 16)
 
 
 def sample_shadow_map(
-    shadow_map, coord, dx, dy, bitmask=False, f16=False, q8=False
+    shadow_map, coord, dx, dy, bitmask=False, f16=False, q8=False,
+    window2d=False,
 ) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
     clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
@@ -166,7 +167,11 @@ def sample_shadow_map(
     (map border / never-written) decode to exactly 0, so the
     ``occ > 0`` border test is preserved; flat segments decode near-
     exactly. Quality pinned by tests/test_lighting.py::
-    test_pcf_q8_{close,frame_close}."""
+    test_pcf_q8_{close,frame_close}.
+
+    ``window2d=True`` (ignored under ``q8``) swaps the five per-tap-row
+    segment gathers for ONE 128-channel gather of an 8-row x 16-col 2D
+    window table (see ``_pcf_window2d``). Bitwise-identical taps."""
     size = shadow_map.shape[-1]
     if size > _PCF_WINDOW_MAX_DIM:
         return _sample_shadow_map_naive(shadow_map, coord, dx, dy)
@@ -175,6 +180,10 @@ def sample_shadow_map(
     dv = 1.5 * dy / size
     u = coord[..., 0]
     v = coord[..., 1]
+    if window2d and not q8:
+        return _pcf_window2d(
+            shadow_map, size, frag_depth, u, v, du, dv, f16
+        )
 
     pad = _PCF_PAD
     n_w = (size + 2 * pad) // 8
@@ -225,15 +234,7 @@ def sample_shadow_map(
                 occluded += jnp.where(inside, bit.astype(jnp.float32), 0.0)
         return 1.0 - occluded / 25.0
 
-    def select16(row, c):
-        """row[..., c] via a 4-level binary select tree (~2x cheaper than a
-        16-wide one-hot dot; tools/light_probe.py puts the selects at ~55 ms
-        per 3 lights). Out-of-range c picks an arbitrary finite channel —
-        such taps are outside the map and masked by `inside` below."""
-        r = jnp.where((c & 8)[..., None] != 0, row[..., 8:], row[..., :8])
-        r = jnp.where((c & 4)[..., None] != 0, r[..., 4:], r[..., :4])
-        r = jnp.where((c & 2)[..., None] != 0, r[..., 2:], r[..., :2])
-        return jnp.where((c & 1) != 0, r[..., 1], r[..., 0])
+    select16 = _select16
 
     occluded = jnp.zeros_like(frag_depth)
     for oy in range(-2, 3):
@@ -245,6 +246,92 @@ def sample_shadow_map(
             inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
             c = jnp.clip(ix + pad - 8 * w, 0, 15)  # tap channel in segment
             tap = select16(row, c).astype(jnp.float32)
+            occ_depth = jnp.where(inside, tap, 0.0)
+            occluded += jnp.where(
+                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
+            )
+    return 1.0 - occluded / 25.0
+
+
+def _select16(row, c):
+    """row[..., c] via a 4-level binary select tree (~2x cheaper than a
+    16-wide one-hot dot; tools/light_probe.py puts the selects at ~55 ms
+    per 3 lights). Out-of-range c picks an arbitrary finite channel —
+    such taps are outside the map and masked by the caller's `inside`."""
+    r = jnp.where((c & 8)[..., None] != 0, row[..., 8:], row[..., :8])
+    r = jnp.where((c & 4)[..., None] != 0, r[..., 4:], r[..., :4])
+    r = jnp.where((c & 2)[..., None] != 0, r[..., 2:], r[..., :2])
+    return jnp.where((c & 1) != 0, r[..., 1], r[..., 0])
+
+
+_PCF_PAD_Y = 8  # zero rows above the 2D-window table (anchor slack)
+
+
+def _pcf_window2d(shadow_map, size, frag_depth, u, v, du, dv, f16):
+    """2D-window PCF: ONE gather per pixel instead of five.
+
+    The map is pre-windowed into 8-row x 16-col blocks — columns at the
+    existing stride 8 (one block column covers all 5 column taps, exactly
+    as ``sample_shadow_map``'s 1D segments), rows at STRIDE 2. Row
+    coverage proof: the 5 tap rows floor((v + oy*dv)*size), |oy| <= 2,
+    span at most 7 consecutive rows (|oy*dv*size| = |1.5*oy*dy| <= 3
+    since compute_shadow_frame guarantees dy <= 1), and an 8-row window
+    anchored at 2*floor((base_y - 3 + pad_y)/2) always contains
+    [base_y - 3, base_y + 3] (slack 1 >= stride - 1). Each pixel gathers
+    one (128,) block, extracts its 5 tap rows with a 3-level select tree
+    over the row axis, then runs the unchanged 4-level column tree —
+    taps are BITWISE-identical to the 1D-segment path
+    (tests/test_lighting.py::test_pcf_window2d_bitwise).
+
+    Trade measured by tools/pcf_window2d_ab.py: gather count 5 -> 1
+    per pixel, fetched bytes 160 -> 256 f16, side table 4.3 -> 17 MB
+    at 1024^2 (stride 2 duplicates each texel 4x vs the 1D layout's 2x).
+    """
+    pad = _PCF_PAD
+    pad_y = _PCF_PAD_Y
+    n_w = (size + 2 * pad) // 8
+    n_h = (size + 2 * pad_y) // 2
+    padded = jnp.zeros((2 * (n_h - 1) + 8, n_w * 8 + 8), shadow_map.dtype)
+    padded = padded.at[pad_y : pad_y + size, pad : pad + size].set(
+        shadow_map
+    )
+    row_idx = (jnp.arange(n_h) * 2)[:, None] + jnp.arange(8)[None, :]
+    col_idx = (jnp.arange(n_w) * 8)[:, None] + jnp.arange(16)[None, :]
+    blocks = padded[row_idx[:, None, :, None], col_idx[None, :, None, :]]
+    blocks = blocks.reshape(n_h * n_w, 8 * 16)
+    if f16:
+        # same placement as the 1D path: f16 flows through the gather and
+        # both select trees; each selected tap widens for the compare
+        blocks = blocks.astype(jnp.float16)
+
+    base_x = jnp.floor(u * size).astype(jnp.int32)
+    wx = jnp.clip(jnp.floor_divide(base_x - 3 + pad, 8), 0, n_w - 1)
+    base_y = jnp.floor(v * size).astype(jnp.int32)
+    wy = jnp.clip(jnp.floor_divide(base_y - 3 + pad_y, 2), 0, n_h - 1)
+
+    block = blocks[wy * n_w + wx]  # (..., 128): the ONE gather
+    rows8 = block.reshape(block.shape[:-1] + (8, 16))
+
+    def select8_rows(r):
+        """rows8[..., r, :] via a 3-level select tree over the row axis.
+        Out-of-range r (edge-clipped taps) picks an arbitrary row —
+        masked by `inside` below, like the column tree's c."""
+        t = jnp.where(
+            (r & 4)[..., None, None] != 0, rows8[..., 4:, :], rows8[..., :4, :]
+        )
+        t = jnp.where((r & 2)[..., None, None] != 0, t[..., 2:, :], t[..., :2, :])
+        return jnp.where((r & 1)[..., None] != 0, t[..., 1, :], t[..., 0, :])
+
+    occluded = jnp.zeros_like(frag_depth)
+    for oy in range(-2, 3):
+        iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, size - 1)
+        row = select8_rows(jnp.clip(iyc + pad_y - 2 * wy, 0, 7))
+        for ox in range(-2, 3):
+            ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
+            inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+            c = jnp.clip(ix + pad - 8 * wx, 0, 15)  # tap channel in block
+            tap = _select16(row, c).astype(jnp.float32)
             occ_depth = jnp.where(inside, tap, 0.0)
             occluded += jnp.where(
                 (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
@@ -374,6 +461,7 @@ def deferred_lighting(
     pcf_bitmask: bool = False,  # PCF tap extraction variant (sample_shadow_map)
     pcf_f16: bool = False,  # f16 PCF segment storage (sample_shadow_map)
     pcf_q8: bool = False,  # u8 block-scaled PCF segments (sample_shadow_map)
+    pcf_window2d: bool = False,  # one-gather 2D windows (sample_shadow_map)
     shadowless_eps: float = 0.0,  # see RenderConfig.shadowless_strength_eps
     # (H, W) precomputed sun PCF visibility (RenderConfig.share_sun_pcf):
     # directional light 0's sample_shadow_map result, evaluated once by the
@@ -468,7 +556,7 @@ def deferred_lighting(
         )
         return sample_shadow_map(
             shadow_maps[i], coord, dx, dy, bitmask=pcf_bitmask,
-            f16=pcf_f16, q8=pcf_q8,
+            f16=pcf_f16, q8=pcf_q8, window2d=pcf_window2d,
         )
 
     def dir_contribution(i, shadow):
@@ -575,6 +663,7 @@ def deferred_lighting(
             bitmask=pcf_bitmask,
             f16=pcf_f16,
             q8=pcf_q8,
+            window2d=pcf_window2d,
         )
         light_dir = _normalize(-spot.forward[:3])[None, None, :]
         # quadratic falloff + UV edge softening (lights.comp:73-91)

@@ -630,6 +630,7 @@ def sky_camera_pass(
     pcf_bitmask: bool = False,  # PCF tap extraction variant (lighting.py)
     pcf_f16: bool = False,  # f16 PCF segment storage (lighting.py)
     pcf_q8: bool = False,  # u8 block-scaled PCF segments (lighting.py)
+    pcf_window2d: bool = False,  # one-gather 2D windows (lighting.py)
     # (H, W) precomputed sun PCF visibility (RenderConfig.share_sun_pcf):
     # the lighting pass evaluates the IDENTICAL sample_shadow_map(
     # compute_shadow_frame(sun_pv, material.position, material.normal))
@@ -698,6 +699,7 @@ def sky_camera_pass(
         sun_shadow = sample_shadow_map(
             sun_shadow_map, coord, dx, dy,
             bitmask=pcf_bitmask, f16=pcf_f16, q8=pcf_q8,
+            window2d=pcf_window2d,
         )
 
     if aerial is not None:

@@ -251,6 +251,15 @@ class RenderConfig:
     # no longer pays for the byte-extract + extra select levels. Kept as
     # a documented negative result; default OFF.
     pcf_q8: bool = False
+    # One-gather 2D-window PCF (kernels/lighting.py::_pcf_window2d;
+    # ignored under pcf_q8): 8-row x 16-col window blocks at row stride 2
+    # replace the five per-tap-row segment gathers with ONE 128-channel
+    # gather per pixel. Taps are BITWISE-identical (tests/test_lighting.py
+    # ::test_pcf_window2d_bitwise); the trade is -4 gather samples/px
+    # (the q8 negative result showed post-f16 PCF is sample-count-bound)
+    # vs +96 fetched B/px, a 17 MB side table (4x), and a 3-level row
+    # select tree. Device A/B: tools/pcf_window2d_ab.py.
+    pcf_window2d: bool = False
     # Dim-directional shadow skip (the midday-moon fast mode): a
     # directional light whose peak spectral intensity max|color|*|strength|
     # is below eps RELATIVE to the frame's total daylight-weighted
@@ -724,31 +733,37 @@ def _sun_pcf(state, gbuffer, shadow_maps, config):
         bitmask=config.pcf_bitmask,
         f16=config.pcf_f16,
         q8=config.pcf_q8,
+        window2d=config.pcf_window2d,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pcf_bitmask", "pcf_f16", "pcf_q8")
+    jax.jit,
+    static_argnames=("pcf_bitmask", "pcf_f16", "pcf_q8", "pcf_window2d"),
 )
 def _stage_sun_pcf(
-    state, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False, pcf_q8=False
+    state, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False,
+    pcf_q8=False, pcf_window2d=False,
 ):
     """share_sun_pcf in the UNFUSED 3-program frame: the hoisted sun PCF
     runs as its own chained device program (dispatch is free — r3
     dispatch_probe) whose (H, W) output feeds both neighbors."""
     cfg = dataclasses.replace(
-        RenderConfig(), pcf_bitmask=pcf_bitmask, pcf_f16=pcf_f16, pcf_q8=pcf_q8
+        RenderConfig(), pcf_bitmask=pcf_bitmask, pcf_f16=pcf_f16,
+        pcf_q8=pcf_q8, pcf_window2d=pcf_window2d,
     )
     return _sun_pcf(state, gbuffer, shadow_maps, cfg)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pcf_bitmask", "pcf_f16", "pcf_q8", "shadowless_eps"),
+    static_argnames=(
+        "pcf_bitmask", "pcf_f16", "pcf_q8", "shadowless_eps", "pcf_window2d"
+    ),
 )
 def _stage_lighting(
     state: FrameState, gbuffer, shadow_maps, pcf_bitmask=False, pcf_f16=False,
-    pcf_q8=False, shadowless_eps=0.0, sun_shadow=None,
+    pcf_q8=False, shadowless_eps=0.0, sun_shadow=None, pcf_window2d=False,
 ):
     """deferred lighting (lights.comp); scene color clamps like UNORM."""
     lit = deferred_lighting(
@@ -763,6 +778,7 @@ def _stage_lighting(
         pcf_bitmask=pcf_bitmask,
         pcf_f16=pcf_f16,
         pcf_q8=pcf_q8,
+        pcf_window2d=pcf_window2d,
         shadowless_eps=shadowless_eps,
         sun_shadow=sun_shadow,
     )
@@ -871,6 +887,7 @@ def _stage_sky(
                 state, gb_c, shadow_maps, config.pcf_bitmask,
                 config.pcf_f16, config.pcf_q8,
                 config.shadowless_strength_eps, ss_c,
+                pcf_window2d=config.pcf_window2d,
             )
 
         def chunk_sun_pcf(gb_c):
@@ -920,6 +937,7 @@ def _stage_sky(
                 pcf_bitmask=config.pcf_bitmask,
                 pcf_f16=config.pcf_f16,
                 pcf_q8=config.pcf_q8,
+                pcf_window2d=config.pcf_window2d,
                 sun_shadow=sun_shadow_c,
             )
 
@@ -1019,6 +1037,7 @@ def _stage_lighting_sky(
     lit = _stage_lighting.__wrapped__(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
         config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
+        pcf_window2d=config.pcf_window2d,
     )
     return _stage_sky.__wrapped__(
         state, lit, vis_depth, gbuffer, shadow_maps, config, row0, sun_shadow
@@ -1048,11 +1067,12 @@ def _finish_frame(state, vis, gbuffer, shadow_maps, config, geometry=None):
     if config.share_sun_pcf and config.render_atmosphere:
         sun_shadow = _stage_sun_pcf(
             state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
-            config.pcf_q8,
+            config.pcf_q8, pcf_window2d=config.pcf_window2d,
         )
     lit = _stage_lighting(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
         config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
+        pcf_window2d=config.pcf_window2d,
     )
     return _stage_sky(
         state, lit, vis.depth, gbuffer, shadow_maps, config, 0, sun_shadow
@@ -1153,6 +1173,7 @@ def render_frame_rows(
     lit = _stage_lighting.__wrapped__(
         state, gbuffer, shadow_maps, config.pcf_bitmask, config.pcf_f16,
         config.pcf_q8, config.shadowless_strength_eps, sun_shadow,
+        pcf_window2d=config.pcf_window2d,
     )
     encoded = _stage_sky.__wrapped__(
         state, lit, vis.depth, gbuffer, shadow_maps, config, row0, sun_shadow

@@ -296,6 +296,47 @@ def test_pcf_bitmask_matches_select_tree():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pcf_window2d_bitwise():
+    """The one-gather 2D-window PCF (_pcf_window2d) == the 5-row-gather
+    segment path, bitwise, in both f32 and f16 storage — the row/column
+    select trees extract the exact same stored texels (coords include
+    out-of-map taps and dy spanning the full [0, 1] bound so the 5 tap
+    rows spread over the maximal 7-row span the window must cover)."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(17)
+    for size in (64, 128):
+        smap = jnp.asarray(rng.random((size, size), np.float32))
+        h, w = 33, 65
+        coord = jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(-0.3, 1.3, (h, w)),
+                    rng.uniform(-0.3, 1.3, (h, w)),
+                    rng.random((h, w)),  # frag depth
+                    np.ones((h, w)),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        dx = jnp.asarray(rng.random((h, w), np.float32))
+        dy = jnp.asarray(rng.random((h, w), np.float32))
+        for f16 in (False, True):
+            a = np.asarray(
+                sample_shadow_map(
+                    smap, coord, dx, dy, f16=f16, window2d=True
+                )
+            )
+            b = np.asarray(
+                sample_shadow_map(
+                    smap, coord, dx, dy, f16=f16, window2d=False
+                )
+            )
+            np.testing.assert_array_equal(a, b)
+
+
 def test_pcf_f16_close():
     """f16 PCF segment storage vs f32: taps flip only where the
     occluder-receiver depth gap is below f16 rounding (~5e-4 relative),
