@@ -111,6 +111,17 @@ def main() -> None:
     parser.add_argument("--mipmaps", action="store_true",
                         help="trilinear mipmapped textures "
                         "(beyond-parity; reference is single-mip)")
+    parser.add_argument("--serve", action="store_true",
+                        help="interactive browser viewer: WASDQE+drag fly "
+                        "camera and the live property table with "
+                        "reset-to-default over localhost HTTP (the "
+                        "editor/ImGui loop's headless-native analog — "
+                        "editor.cpp:441-779, ui/propertytable.hpp:28-226)")
+    parser.add_argument("--port", type=int, default=8731,
+                        help="--serve port (default 8731)")
+    parser.add_argument("--serve-frames", type=int, default=0,
+                        help="stop --serve after N rendered frames "
+                        "(0 = run until interrupted; used by tests)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -228,6 +239,18 @@ def main() -> None:
         # static skip is bitwise-identical when no material is metallic
         metallic_reflection=scene_uses_metallic(scene, library),
     )
+    if args.serve:
+        from syzygy_tpu.app.serve import serve
+
+        serve(
+            scene,
+            library,
+            config,
+            port=args.port,
+            mipmaps=args.mipmaps,
+            frames=args.serve_frames,
+        )
+        return
     geometry_host = pack_geometry(scene, library, mipmaps=args.mipmaps)
     geometry = place_on_accelerator(geometry_host)
     aspect = args.width / args.height

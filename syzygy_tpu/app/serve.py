@@ -1,0 +1,334 @@
+"""Interactive browser viewer: the live-editing editor loop over HTTP.
+
+The reference is a windowed real-time editor — GLFW input drives a fly
+camera (``editor/editor.cpp:441-779``) and every scene parameter is
+live-editable with per-row reset through ImGui property tables
+(``ui/propertytable.hpp:28-226``, ``ui/statelesswidgets.cpp:165-377``).
+BASELINE scopes windowing/ImGui out, so this module provides the
+headless-native equivalent: ``python -m syzygy_tpu.app --serve`` starts a
+localhost HTTP server whose single page shows the rendered frame, takes
+WASDQE + drag fly-camera input (``InputHandler``-exact: the same
+``scene.handle_input`` path as ``--input-script``), and renders the full
+reflection-discovered property table (``app/properties.py``) with live
+edit + reset-to-default per row — the PropertyTable's 3 columns.
+
+Every interaction re-renders through the same jitted frame stages as the
+batch app; frame pacing is whatever the backend delivers (interpret-mode
+CPU is seconds/frame — the point is interactive *editing* parity, not
+interactive *rate*, which BENCHMARKS tracks separately).
+
+No third-party dependencies: stdlib ``http.server`` + a self-contained
+HTML page; PNG encoding via ``utils.write_png``'s encoder.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+log = logging.getLogger("syzygy")
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>syzygy_tpu</title>
+<style>
+ body { background:#14161a; color:#cfd3da; font:13px monospace; margin:0;
+        display:flex; height:100vh; }
+ #view { flex:1; display:flex; flex-direction:column; align-items:center;
+         justify-content:center; }
+ #frame { image-rendering:pixelated; max-width:96%; border:1px solid #333;
+          cursor:crosshair; }
+ #hud { padding:6px; color:#8a8f98; }
+ #panel { width:420px; overflow-y:auto; background:#1a1d22; padding:8px;
+          border-left:1px solid #333; }
+ table { border-collapse:collapse; width:100%; }
+ td { padding:2px 4px; border-bottom:1px solid #24272c; }
+ td.name { color:#7aa2f7; white-space:nowrap; max-width:200px;
+           overflow:hidden; text-overflow:ellipsis; }
+ input.val { width:140px; background:#0f1115; color:#cfd3da;
+             border:1px solid #333; font:12px monospace; }
+ button { background:#24272c; color:#cfd3da; border:1px solid #3a3f46;
+          cursor:pointer; font:11px monospace; }
+ #status { color:#9ece6a; }
+</style></head><body>
+<div id="view">
+  <img id="frame" src="/frame.png?v=0" tabindex="0">
+  <div id="hud">WASDQE move &middot; drag to look &middot;
+    <span id="status">ready</span></div>
+</div>
+<div id="panel"><table id="props"></table></div>
+<script>
+let v = 0, busy = false, pending = false;
+const frame = document.getElementById('frame');
+const status = document.getElementById('status');
+function refresh() {
+  if (busy) { pending = true; return; }
+  busy = true; status.textContent = 'rendering...';
+  const img = new Image();
+  img.onload = () => { frame.src = img.src; busy = false;
+    status.textContent = 'ready';
+    if (pending) { pending = false; refresh(); } };
+  img.onerror = () => { busy = false; status.textContent = 'error'; };
+  img.src = '/frame.png?v=' + (++v);
+}
+async function post(url, body) {
+  const r = await fetch(url, {method:'POST', body:JSON.stringify(body)});
+  return r.json();
+}
+// fly camera: keys + mouse drag through the InputHandler path
+const keys = new Set();
+addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT') return;
+  const k = e.key.toLowerCase();
+  if ('wasdqe'.includes(k)) { keys.add(k); e.preventDefault(); }
+});
+addEventListener('keyup', e => keys.delete(e.key.toLowerCase()));
+setInterval(async () => {
+  if (keys.size === 0) return;
+  await post('/api/input', {keys: Array.from(keys).join(''), dt: 0.12});
+  refresh();
+}, 140);
+let dragging = false, lx = 0, ly = 0;
+frame.addEventListener('mousedown', e => {
+  dragging = true; lx = e.clientX; ly = e.clientY; });
+addEventListener('mouseup', () => dragging = false);
+addEventListener('mousemove', async e => {
+  if (!dragging) return;
+  const dx = e.clientX - lx, dy = e.clientY - ly;
+  if (Math.abs(dx) + Math.abs(dy) < 3) return;
+  lx = e.clientX; ly = e.clientY;
+  await post('/api/input', {cursor: [dx, dy], dt: 0.0});
+  refresh();
+});
+// property table: name / value / reset (propertytable.hpp's 3 columns)
+async function loadProps() {
+  const props = await (await fetch('/api/properties')).json();
+  const tbl = document.getElementById('props');
+  tbl.innerHTML = '';
+  for (const p of props) {
+    const tr = document.createElement('tr');
+    const name = document.createElement('td');
+    name.className = 'name'; name.textContent = p.path; name.title = p.path;
+    const val = document.createElement('td');
+    const inp = document.createElement('input');
+    inp.className = 'val'; inp.value = p.value;
+    inp.addEventListener('keydown', async e => {
+      if (e.key !== 'Enter') return;
+      const r = await post('/api/set', {path: p.path, value: inp.value});
+      if (r.error) { status.textContent = r.error; inp.value = p.value; }
+      else { p.value = r.value; inp.value = r.value; refresh(); }
+    });
+    val.appendChild(inp);
+    const rst = document.createElement('td');
+    if (p.default !== null) {
+      const b = document.createElement('button');
+      b.textContent = '\\u21ba';
+      b.title = 'reset to ' + p.default;
+      b.onclick = async () => {
+        const r = await post('/api/set', {path: p.path, value: 'default'});
+        if (!r.error) { p.value = r.value; inp.value = r.value; refresh(); }
+      };
+      rst.appendChild(b);
+    }
+    tr.append(name, val, rst); tbl.appendChild(tr);
+  }
+}
+loadProps();
+</script></body></html>
+"""
+
+
+def _png_bytes(image) -> bytes:
+    """Encode an (H, W, 3) float [0,1] image as PNG bytes in memory."""
+    from PIL import Image
+
+    arr = np.asarray(
+        np.clip(np.asarray(image), 0.0, 1.0) * 255.0 + 0.5, np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class _State:
+    """Render state shared across requests; one lock serializes renders
+    and scene mutation (the editor loop is single-threaded too)."""
+
+    def __init__(self, scene, library, config, mipmaps=False, dt=1.0 / 60.0):
+        from syzygy_tpu.runtime import place_on_accelerator
+        from syzygy_tpu.scene import pack_geometry
+
+        self.lock = threading.Lock()
+        self.scene = scene
+        self.library = library
+        self.config = config
+        self.mipmaps = mipmaps
+        self.dt = dt
+        self.aspect = config.width / config.height
+        self._geometry_host = pack_geometry(scene, library, mipmaps=mipmaps)
+        self.geometry = place_on_accelerator(self._geometry_host)
+        self._frame_png = None
+        self._dirty = True
+
+    def render_png(self) -> bytes:
+        from syzygy_tpu.renderer import render_frame_packed
+        from syzygy_tpu.scene import (
+            flatten_frame_params,
+            frame_param_spec,
+            pack_frame_params,
+        )
+
+        with self.lock:
+            if not self._dirty and self._frame_png is not None:
+                return self._frame_png
+            params = pack_frame_params(self.scene, self.aspect)
+            spec = frame_param_spec(params)
+            flat = flatten_frame_params(
+                params, spec, np.empty(spec.total, np.float32)
+            )
+            image = np.asarray(
+                render_frame_packed(self.geometry, flat, spec, self.config)
+            )
+            self._frame_png = _png_bytes(image)
+            self._dirty = False
+            return self._frame_png
+
+    def handle_input(self, keys: str, cursor, dt: float):
+        with self.lock:
+            self.scene.handle_input(
+                dt if dt > 0.0 else self.dt,
+                cursor_delta=tuple(cursor),
+                keys=frozenset(keys),
+            )
+            if dt > 0.0:
+                self.scene.tick(dt)
+            self._dirty = True
+
+    def set_property(self, path: str, value):
+        from syzygy_tpu.app.properties import (
+            canonical_path,
+            get_path,
+            parse_value,
+            reset_path,
+            set_path,
+        )
+        from syzygy_tpu.runtime import place_on_accelerator
+        from syzygy_tpu.scene import pack_geometry
+
+        with self.lock:
+            path = canonical_path(self.scene, path)
+            if isinstance(value, str) and value.strip() == "default":
+                reset_path(self.scene, path)
+            else:
+                if isinstance(value, str):
+                    value = parse_value(value)
+                set_path(self.scene, path, value)
+            # transforms/visibility feed pack_geometry's instance tables;
+            # repacking on every edit keeps the table uniformly live (the
+            # default scene repacks in well under a frame's render time)
+            self._geometry_host = pack_geometry(
+                self.scene, self.library, mipmaps=self.mipmaps
+            )
+            self.geometry = place_on_accelerator(self._geometry_host)
+            self._dirty = True
+            return get_path(self.scene, path)
+
+    def properties(self):
+        from syzygy_tpu.app.properties import _fmt, discover
+
+        with self.lock:
+            return [
+                {
+                    "path": p.path,
+                    "value": _fmt(p.value),
+                    "default": None if p.default is None else _fmt(p.default),
+                }
+                for p in discover(self.scene)
+            ]
+
+
+def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
+    """Run the interactive viewer until interrupted (or after ``frames``
+    rendered frames when > 0 — used by the smoke test)."""
+    state = _State(scene, library, config, mipmaps=mipmaps)
+    rendered = [0]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through syzygy logging
+            log.debug("serve: " + fmt, *args)
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.split("?")[0] == "/":
+                self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+            elif self.path.startswith("/frame.png"):
+                try:
+                    png = state.render_png()
+                except Exception as e:  # surface render errors, keep serving
+                    log.error("render failed: %s", e)
+                    self._send(500, str(e).encode(), "text/plain")
+                    return
+                rendered[0] += 1
+                self._send(200, png, "image/png")
+            elif self.path == "/api/properties":
+                self._send(200, json.dumps(state.properties()).encode())
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, b'{"error": "bad json"}')
+                return
+            if self.path == "/api/input":
+                state.handle_input(
+                    body.get("keys", ""),
+                    body.get("cursor", (0.0, 0.0)),
+                    float(body.get("dt", 0.0)),
+                )
+                self._send(200, b'{"ok": true}')
+            elif self.path == "/api/set":
+                try:
+                    value = state.set_property(
+                        body.get("path", ""), body.get("value")
+                    )
+                except Exception as e:
+                    self._send(200, json.dumps({"error": str(e)}).encode())
+                    return
+                from syzygy_tpu.app.properties import _fmt
+
+                self._send(200, json.dumps({"value": _fmt(value)}).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    log.info(
+        "interactive viewer on http://127.0.0.1:%d (%dx%d, %s)",
+        port, config.width, config.height, "ctrl-c to stop",
+    )
+    if frames > 0:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        import time
+
+        while rendered[0] < frames:
+            time.sleep(0.1)
+        httpd.shutdown()
+        return state
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        log.info("viewer stopped")
+    return state

@@ -124,3 +124,43 @@ def test_format_table_renders_columns_and_dirty_marker(scene):
     assert lines[0].split() == ["property", "value", "default"]
     row = next(line for line in lines if "fov_degrees" in line)
     assert "90" in row and "70" in row and row.rstrip().endswith("*")
+
+
+def test_serve_state_round_trip():
+    """The --serve viewer's state machine: render -> cached re-render ->
+    fly-camera input invalidates -> property edit (and reset) re-renders
+    a different frame. Exercises app/serve.py without HTTP (the handler
+    is a thin JSON shim over _State)."""
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    scene, library = default_scene()
+    config = RenderConfig(
+        width=64,
+        height=32,
+        shadow_dim=128,
+        skyview_width=64,
+        skyview_height=16,
+    )
+    state = _State(scene, library, config)
+    png1 = state.render_png()
+    assert png1[:4] == b"\x89PNG"
+    assert state.render_png() is png1  # clean state serves the cache
+
+    state.handle_input("w", (0.0, 0.0), 0.25)
+    png2 = state.render_png()
+    assert png2 != png1  # the camera moved
+
+    assert state.set_property("camera.fov_degrees", "110") == 110.0
+    png3 = state.render_png()
+    assert png3 != png2
+
+    state.set_property("camera.fov_degrees", "default")
+    assert get_path(state.scene, "camera.fov_degrees") == 70.0
+
+    props = state.properties()
+    assert any(p["path"] == "atmosphere.sun_euler_angles" for p in props)
+    assert all(
+        isinstance(p["value"], str) and "path" in p for p in props
+    )
