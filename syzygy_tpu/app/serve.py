@@ -58,7 +58,7 @@ _PAGE = """<!DOCTYPE html>
 <div id="view">
   <img id="frame" src="/frame.png?v=0" tabindex="0">
   <div id="hud">WASDQE move &middot; drag to look &middot;
-    <span id="status">ready</span></div>
+    <span id="status">ready</span> &middot; <span id="perf"></span></div>
 </div>
 <div id="panel"><table id="props"></table></div>
 <script>
@@ -69,8 +69,13 @@ function refresh() {
   if (busy) { pending = true; return; }
   busy = true; status.textContent = 'rendering...';
   const img = new Image();
-  img.onload = () => { frame.src = img.src; busy = false;
+  img.onload = async () => { frame.src = img.src; busy = false;
     status.textContent = 'ready';
+    try {  // performance window analog: frame ms + FPS ring report
+      const s = await (await fetch('/api/stats')).json();
+      document.getElementById('perf').textContent =
+        s.last_ms.toFixed(0) + ' ms | fps ' + (s.fps || '-');
+    } catch (e) {}
     if (pending) { pending = false; refresh(); } };
   img.onerror = () => { busy = false; status.textContent = 'error'; };
   img.src = '/frame.png?v=' + (++v);
@@ -173,8 +178,12 @@ class _State:
         self.geometry = place_on_accelerator(self._geometry_host)
         self._frame_png = None
         self._dirty = True
+        self._fps = None
+        self._last_ms = 0.0
 
     def render_png(self) -> bytes:
+        import time
+
         from syzygy_tpu.renderer import render_frame_packed
         from syzygy_tpu.scene import (
             flatten_frame_params,
@@ -190,12 +199,40 @@ class _State:
             flat = flatten_frame_params(
                 params, spec, np.empty(spec.total, np.float32)
             )
+            t0 = time.perf_counter()
             image = np.asarray(
                 render_frame_packed(self.geometry, flat, spec, self.config)
             )
+            self._last_ms = (time.perf_counter() - t0) * 1e3
+            if self._fps is not None:  # first render includes the compile
+                self._fps.write(1e3 / max(self._last_ms, 1e-6))
+            else:
+                from syzygy_tpu.utils import RingBuffer
+
+                self._fps = RingBuffer()
             self._frame_png = _png_bytes(image)
             self._dirty = False
             return self._frame_png
+
+    def stats(self):
+        """Performance-window analog (ui/statelesswidgets.cpp:98-161): the
+        FPS ring report + per-pipeline Draw Results counters."""
+        from syzygy_tpu.renderer.stats import frame_draw_stats
+        from syzygy_tpu.scene import pack_frame_params
+
+        with self.lock:
+            params = pack_frame_params(self.scene, self.aspect)
+            draw = {
+                name: str(stat)
+                for name, stat in frame_draw_stats(
+                    params, self._geometry_host, self.config
+                ).items()
+            }
+            return {
+                "last_ms": self._last_ms,
+                "fps": None if self._fps is None else self._fps.report(),
+                "draw_results": draw,
+            }
 
     def handle_input(self, keys: str, cursor, dt: float):
         with self.lock:
@@ -282,6 +319,8 @@ def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
                 self._send(200, png, "image/png")
             elif self.path == "/api/properties":
                 self._send(200, json.dumps(state.properties()).encode())
+            elif self.path == "/api/stats":
+                self._send(200, json.dumps(state.stats()).encode())
             else:
                 self._send(404, b"not found", "text/plain")
 

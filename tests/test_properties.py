@@ -164,3 +164,29 @@ def test_serve_state_round_trip():
     assert all(
         isinstance(p["value"], str) and "path" in p for p in props
     )
+
+
+def test_serve_stats_report():
+    """/api/stats payload: frame ms + FPS ring report (the performance
+    window, ui/statelesswidgets.cpp:98-161) + Draw Results counters."""
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    scene, library = default_scene()
+    state = _State(
+        scene,
+        library,
+        RenderConfig(
+            width=64, height=32, shadow_dim=128,
+            skyview_width=64, skyview_height=16,
+        ),
+    )
+    state.render_png()
+    s = state.stats()
+    assert s["last_ms"] > 0.0
+    assert s["fps"] == "no samples"  # compile frame is not an FPS sample
+    assert any("draw calls" in v for v in s["draw_results"].values())
+    state.handle_input("w", (0.0, 0.0), 0.1)
+    state.render_png()
+    assert "avg" in state.stats()["fps"]
