@@ -127,7 +127,7 @@ _PCF_WINDOW_MAX_DIM = 2048  # windowed-segment table is O(dim^2 * 16)
 
 def sample_shadow_map(
     shadow_map, coord, dx, dy, bitmask=False, f16=False, q8=False,
-    window2d=False,
+    window2d=False, seg8=False,
 ) -> jnp.ndarray:
     """``sampleShadowMap`` (``shadowmap.glinl:32-63``): 5x5 PCF, NEAREST,
     clamp-to-border(0), reverse-Z occluder test. Returns (H, W) light factor.
@@ -171,7 +171,22 @@ def sample_shadow_map(
 
     ``window2d=True`` (ignored under ``q8``) swaps the five per-tap-row
     segment gathers for ONE 128-channel gather of an 8-row x 16-col 2D
-    window table (see ``_pcf_window2d``). Bitwise-identical taps."""
+    window table (see ``_pcf_window2d``). Bitwise-identical taps — and a
+    MEASURED LOSS both ways it can be built (tools/pcf_window2d_probe.py
+    r9 standalone: 118.0 vs 84.5 ms/eval at 1080p/f16 — PCF gathers are
+    fetched-BYTES-bound, so one 256 B row loses to five 32 B rows; the
+    in-frame slice-stacked table build also stalled the platform
+    compiler >40 min). Kept as the negative-result record; default off.
+
+    ``seg8=True`` (ignored under ``q8``/``bitmask``) narrows the row
+    segments 16 -> 8 channels at stride 2: same five gathers but HALF
+    the fetched bytes (5 x 16 B f16) and a 3-level column tree, at a 2x
+    side table (stride-2 windows duplicate each texel 4x). Bitwise-
+    identical taps (tests/test_lighting.py::test_pcf_seg8_bitwise) — and
+    ALSO a measured loss (124.7 vs 83.7 ms/eval, same probe session as
+    window2d's 117.8): halving fetched bytes does not pay for doubling
+    the touched table. The three points bracket the default
+    16ch/stride-8 layout as a local optimum of the gather-shape space."""
     size = shadow_map.shape[-1]
     if size > _PCF_WINDOW_MAX_DIM:
         return _sample_shadow_map_naive(shadow_map, coord, dx, dy)
@@ -184,6 +199,8 @@ def sample_shadow_map(
         return _pcf_window2d(
             shadow_map, size, frag_depth, u, v, du, dv, f16
         )
+    if seg8 and not q8 and not bitmask:
+        return _pcf_seg8(shadow_map, size, frag_depth, u, v, du, dv, f16)
 
     pad = _PCF_PAD
     n_w = (size + 2 * pad) // 8
@@ -295,10 +312,23 @@ def _pcf_window2d(shadow_map, size, frag_depth, u, v, du, dv, f16):
     padded = padded.at[pad_y : pad_y + size, pad : pad + size].set(
         shadow_map
     )
-    row_idx = (jnp.arange(n_h) * 2)[:, None] + jnp.arange(8)[None, :]
-    col_idx = (jnp.arange(n_w) * 8)[:, None] + jnp.arange(16)[None, :]
-    blocks = padded[row_idx[:, None, :, None], col_idx[None, :, None, :]]
-    blocks = blocks.reshape(n_h * n_w, 8 * 16)
+    # Channel layout: flat 128 = window-row j (0..7) * 16 + column c
+    # (0..15). Built from 128 STRIDED SLICES (channel (j, c) over the
+    # (n_h, n_w) window grid is exactly padded[j::2, c::8]) — pure
+    # slice+stack, no gather, so it hoists/fuses trivially. The first
+    # formulation built this with a 2-axis advanced-index gather and
+    # kept per-pixel (..., 8, 16) tensors, whose 16-wide trailing dim
+    # wastes 7/8 of every VPU lane tile — measured ELEVEN TIMES slower
+    # end-to-end (1595 vs 142 ms/frame, tools/pcf_window2d_ab.py r9);
+    # all per-pixel shapes here keep flat 128/64/32/16 trailing dims.
+    blocks = jnp.stack(
+        [
+            padded[j : j + 2 * n_h : 2, c : c + 8 * n_w : 8]
+            for j in range(8)
+            for c in range(16)
+        ],
+        axis=-1,
+    ).reshape(n_h * n_w, 8 * 16)
     if f16:
         # same placement as the 1D path: f16 flows through the gather and
         # both select trees; each selected tap widens for the compare
@@ -310,28 +340,75 @@ def _pcf_window2d(shadow_map, size, frag_depth, u, v, du, dv, f16):
     wy = jnp.clip(jnp.floor_divide(base_y - 3 + pad_y, 2), 0, n_h - 1)
 
     block = blocks[wy * n_w + wx]  # (..., 128): the ONE gather
-    rows8 = block.reshape(block.shape[:-1] + (8, 16))
 
-    def select8_rows(r):
-        """rows8[..., r, :] via a 3-level select tree over the row axis.
+    def select_row(r):
+        """block channels [16r, 16r+16) via a 3-level select tree on the
+        FLAT channel axis (widths 64/32/16 — never a sub-128 tile).
         Out-of-range r (edge-clipped taps) picks an arbitrary row —
         masked by `inside` below, like the column tree's c."""
-        t = jnp.where(
-            (r & 4)[..., None, None] != 0, rows8[..., 4:, :], rows8[..., :4, :]
-        )
-        t = jnp.where((r & 2)[..., None, None] != 0, t[..., 2:, :], t[..., :2, :])
-        return jnp.where((r & 1)[..., None] != 0, t[..., 1, :], t[..., 0, :])
+        t = jnp.where((r & 4)[..., None] != 0, block[..., 64:], block[..., :64])
+        t = jnp.where((r & 2)[..., None] != 0, t[..., 32:], t[..., :32])
+        return jnp.where((r & 1)[..., None] != 0, t[..., 16:], t[..., :16])
 
     occluded = jnp.zeros_like(frag_depth)
     for oy in range(-2, 3):
         iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, size - 1)
-        row = select8_rows(jnp.clip(iyc + pad_y - 2 * wy, 0, 7))
+        row = select_row(jnp.clip(iyc + pad_y - 2 * wy, 0, 7))
         for ox in range(-2, 3):
             ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
             inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
             c = jnp.clip(ix + pad - 8 * wx, 0, 15)  # tap channel in block
             tap = _select16(row, c).astype(jnp.float32)
+            occ_depth = jnp.where(inside, tap, 0.0)
+            occluded += jnp.where(
+                (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0
+            )
+    return 1.0 - occluded / 25.0
+
+
+def _pcf_seg8(shadow_map, size, frag_depth, u, v, du, dv, f16):
+    """Narrow-segment PCF: 8-channel row windows at stride 2.
+
+    Same shape as the default 16-channel/stride-8 segments, but each of
+    the five row gathers fetches HALF the bytes (16 B f16) and the
+    column extract is a 3-level tree (widths 4/2/1). Coverage proof: the
+    5 column taps floor((u + ox*du)*size) span <= 7 texels (|ox*du*size|
+    = |1.5*ox*dx| <= 3); an 8-texel window anchored at
+    2*floor((base - 3 + pad)/2) always contains [base - 3, base + 3]
+    (slack 1 >= stride - 1). The side table doubles (stride-2 windows
+    hold each texel 4x vs stride-8's 2x): (size * n_w, 8) with
+    n_w = (size + 2*pad)/2. Taps/masks/compares are bitwise-identical to
+    the other formulations."""
+    pad = _PCF_PAD
+    n_w = (size + 2 * pad) // 2
+    padded = jnp.zeros((size, 2 * (n_w - 1) + 8), shadow_map.dtype)
+    padded = padded.at[:, pad : pad + size].set(shadow_map)
+    seg_idx = (jnp.arange(n_w) * 2)[:, None] + jnp.arange(8)[None, :]
+    windows = padded[:, seg_idx].reshape(size * n_w, 8)
+    if f16:
+        windows = windows.astype(jnp.float16)
+
+    base = jnp.floor(u * size).astype(jnp.int32)
+    w = jnp.clip(jnp.floor_divide(base - 3 + pad, 2), 0, n_w - 1)
+
+    def select8(row, c):
+        """row[..., c], 3-level tree; out-of-range c picks an arbitrary
+        finite channel — such taps are masked by `inside` below."""
+        r = jnp.where((c & 4)[..., None] != 0, row[..., 4:], row[..., :4])
+        r = jnp.where((c & 2)[..., None] != 0, r[..., 2:], r[..., :2])
+        return jnp.where((c & 1) != 0, r[..., 1], r[..., 0])
+
+    occluded = jnp.zeros_like(frag_depth)
+    for oy in range(-2, 3):
+        iy = jnp.floor((v + oy * dv) * size).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, size - 1)
+        row = windows[iyc * n_w + w]  # (..., 8): ONE gather per tap row
+        for ox in range(-2, 3):
+            ix = jnp.floor((u + ox * du) * size).astype(jnp.int32)
+            inside = (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+            c = jnp.clip(ix + pad - 2 * w, 0, 7)  # tap channel in segment
+            tap = select8(row, c).astype(jnp.float32)
             occ_depth = jnp.where(inside, tap, 0.0)
             occluded += jnp.where(
                 (occ_depth > 0.0) & (occ_depth > frag_depth), 1.0, 0.0

@@ -255,10 +255,14 @@ class RenderConfig:
     # ignored under pcf_q8): 8-row x 16-col window blocks at row stride 2
     # replace the five per-tap-row segment gathers with ONE 128-channel
     # gather per pixel. Taps are BITWISE-identical (tests/test_lighting.py
-    # ::test_pcf_window2d_bitwise); the trade is -4 gather samples/px
-    # (the q8 negative result showed post-f16 PCF is sample-count-bound)
-    # vs +96 fetched B/px, a 17 MB side table (4x), and a 3-level row
-    # select tree. Device A/B: tools/pcf_window2d_ab.py.
+    # ::test_pcf_window2d_bitwise) — and a MEASURED LOSS (r9,
+    # tools/pcf_window2d_probe.py standalone at 1080p/f16: 117.8 vs the
+    # default's 83.7 ms/eval; the fused-frame A/B variant also stalled
+    # the platform compiler >40 min). Together with pcf_seg8 (+49%) this
+    # brackets the default 16ch/stride-8 segments as a LOCAL OPTIMUM:
+    # fewer-but-wider gathers and narrower-but-more-table both lose.
+    # Kept as the negative-result record; default OFF — don't revisit
+    # PCF gather-shape changes without a new cost-model fact.
     pcf_window2d: bool = False
     # Dim-directional shadow skip (the midday-moon fast mode): a
     # directional light whose peak spectral intensity max|color|*|strength|

@@ -337,6 +337,41 @@ def test_pcf_window2d_bitwise():
             np.testing.assert_array_equal(a, b)
 
 
+def test_pcf_seg8_bitwise():
+    """The narrow-segment PCF (_pcf_seg8: 8-channel windows, stride 2)
+    == the default 16-channel path, bitwise, f32 and f16 — same stored
+    texels, same taps, half the fetched bytes."""
+    import numpy as np
+
+    from syzygy_tpu.kernels.lighting import sample_shadow_map
+
+    rng = np.random.default_rng(23)
+    for size in (64, 128):
+        smap = jnp.asarray(rng.random((size, size), np.float32))
+        h, w = 33, 65
+        coord = jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(-0.3, 1.3, (h, w)),
+                    rng.uniform(-0.3, 1.3, (h, w)),
+                    rng.random((h, w)),  # frag depth
+                    np.ones((h, w)),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        dx = jnp.asarray(rng.random((h, w), np.float32))
+        dy = jnp.asarray(rng.random((h, w), np.float32))
+        for f16 in (False, True):
+            a = np.asarray(
+                sample_shadow_map(smap, coord, dx, dy, f16=f16, seg8=True)
+            )
+            b = np.asarray(
+                sample_shadow_map(smap, coord, dx, dy, f16=f16, seg8=False)
+            )
+            np.testing.assert_array_equal(a, b)
+
+
 def test_pcf_f16_close():
     """f16 PCF segment storage vs f32: taps flip only where the
     occluder-receiver depth gap is below f16 rounding (~5e-4 relative),
