@@ -155,7 +155,7 @@ def main() -> None:
 
     from syzygy_tpu.math.geometry import eulers_from_forward
     from syzygy_tpu.renderer import RenderConfig, render_frame_packed
-    from syzygy_tpu.runtime import place_on_accelerator
+    from syzygy_tpu.runtime import fetch_frame_u8, place_on_accelerator
     from syzygy_tpu.scene import (
         default_scene,
         flatten_frame_params,
@@ -345,7 +345,12 @@ def main() -> None:
             )
         params = pack_frame_params(scene, aspect, debug_lines=args.debug_lines)
         flat = flatten_frame_params(params, spec, flat_buf)
-        image = np.asarray(render_frame_packed(geometry, flat, spec, config))
+        # u8 quantization on device (bitwise-equal to write_png's host
+        # quantize) — the f32 frame fetch is 4x the bytes through the
+        # ~15 MB/s tunnel (1080p: ~24 MB -> ~6 MB per frame).
+        image = fetch_frame_u8(
+            render_frame_packed(geometry, flat, spec, config)
+        )
         dt = time.perf_counter() - t0
         if frame_idx == 0:
             log.info("first frame (incl. compile): %.1fs", dt)

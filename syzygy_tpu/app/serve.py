@@ -60,7 +60,15 @@ _PAGE = """<!DOCTYPE html>
   <div id="hud">WASDQE move &middot; drag to look &middot;
     <span id="status">ready</span> &middot; <span id="perf"></span></div>
 </div>
-<div id="panel"><table id="props"></table></div>
+<div id="panel">
+  <div id="texbar">
+    <select id="texsel"><option value="">(inspect texture...)</option>
+    </select>
+  </div>
+  <img id="texview" style="display:none; max-width:100%;
+       image-rendering:pixelated; border:1px solid #333; margin:4px 0;">
+  <table id="props"></table>
+</div>
 <script>
 let v = 0, busy = false, pending = false;
 const frame = document.getElementById('frame');
@@ -143,17 +151,35 @@ async function loadProps() {
   }
 }
 loadProps();
+// TextureDisplay analog (ui/texturedisplay.cpp:21-80): any registered
+// asset, shown at native resolution in the side panel
+async function loadTextures() {
+  const texs = await (await fetch('/api/textures')).json();
+  const sel = document.getElementById('texsel');
+  for (const t of texs) {
+    const o = document.createElement('option');
+    o.value = t.name; o.textContent = t.name + ' (' + t.w + 'x' + t.h + ')';
+    sel.appendChild(o);
+  }
+  sel.onchange = () => {
+    const img = document.getElementById('texview');
+    if (!sel.value) { img.style.display = 'none'; return; }
+    img.src = '/texture.png?name=' + encodeURIComponent(sel.value);
+    img.style.display = 'block';
+  };
+}
+loadTextures();
 </script></body></html>
 """
 
 
 def _png_bytes(image) -> bytes:
-    """Encode an (H, W, 3) float [0,1] image as PNG bytes in memory."""
+    """Encode an (H, W, 3) float [0,1] or uint8 image as PNG bytes."""
     from PIL import Image
 
-    arr = np.asarray(
-        np.clip(np.asarray(image), 0.0, 1.0) * 255.0 + 0.5, np.uint8
-    )
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.asarray(np.clip(arr, 0.0, 1.0) * 255.0 + 0.5, np.uint8)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return buf.getvalue()
@@ -199,8 +225,12 @@ class _State:
             flat = flatten_frame_params(
                 params, spec, np.empty(spec.total, np.float32)
             )
+            from syzygy_tpu.runtime import fetch_frame_u8
+
             t0 = time.perf_counter()
-            image = np.asarray(
+            # u8 quantization happens on device: the f32 fetch (4x the
+            # bytes) dominated the interactive frame through the tunnel.
+            image = fetch_frame_u8(
                 render_frame_packed(self.geometry, flat, spec, self.config)
             )
             self._last_ms = (time.perf_counter() - t0) * 1e3
@@ -274,6 +304,27 @@ class _State:
             self._dirty = True
             return get_path(self.scene, path)
 
+    def textures(self):
+        """TextureDisplay's source list (ui/texturedisplay.cpp:21-80): every
+        registered asset at its native resolution."""
+        with self.lock:
+            return [
+                {
+                    "name": name,
+                    "index": self.library.lookup(name),
+                    "w": int(self.library.get(self.library.lookup(name)).shape[1]),
+                    "h": int(self.library.get(self.library.lookup(name)).shape[0]),
+                }
+                for name in self.library.names()
+            ]
+
+    def texture_png(self, name: str) -> bytes:
+        with self.lock:
+            idx = self.library.lookup(name)
+            if idx is None:
+                raise KeyError(f"no texture named {name!r}")
+            return _png_bytes(self.library.get(idx)[..., :3])
+
     def properties(self):
         from syzygy_tpu.app.properties import _fmt, discover
 
@@ -321,6 +372,18 @@ def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
                 self._send(200, json.dumps(state.properties()).encode())
             elif self.path == "/api/stats":
                 self._send(200, json.dumps(state.stats()).encode())
+            elif self.path == "/api/textures":
+                self._send(200, json.dumps(state.textures()).encode())
+            elif self.path.startswith("/texture.png"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    png = state.texture_png(q.get("name", [""])[0])
+                except KeyError as e:
+                    self._send(404, str(e).encode(), "text/plain")
+                    return
+                self._send(200, png, "image/png")
             else:
                 self._send(404, b"not found", "text/plain")
 

@@ -190,3 +190,30 @@ def test_serve_stats_report():
     state.handle_input("w", (0.0, 0.0), 0.1)
     state.render_png()
     assert "avg" in state.stats()["fps"]
+
+
+def test_serve_texture_inspector():
+    """/api/textures + /texture.png: the TextureDisplay analog inside the
+    interactive viewer (ui/texturedisplay.cpp:21-80) — every registered
+    asset listed with native dims, served as PNG; unknown names 404."""
+    import pytest
+
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    scene, library = default_scene()
+    state = _State(
+        scene,
+        library,
+        RenderConfig(
+            width=64, height=32, shadow_dim=128,
+            skyview_width=64, skyview_height=16,
+        ),
+    )
+    texs = state.textures()
+    assert texs and all(t["w"] > 0 and t["h"] > 0 for t in texs)
+    png = state.texture_png(texs[0]["name"])
+    assert png[:4] == b"\x89PNG"
+    with pytest.raises(KeyError):
+        state.texture_png("no-such-texture")
