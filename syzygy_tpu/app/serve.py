@@ -83,6 +83,8 @@ function refresh() {
       const s = await (await fetch('/api/stats')).json();
       document.getElementById('perf').textContent =
         s.last_ms.toFixed(0) + ' ms | fps ' + (s.fps || '-');
+      // drain the 2-frames-in-flight pipeline when input stops
+      if (s.pending) pending = true;
     } catch (e) {}
     if (pending) { pending = false; refresh(); } };
   img.onerror = () => { busy = false; status.textContent = 'error'; };
@@ -181,7 +183,9 @@ def _png_bytes(image) -> bytes:
     if arr.dtype != np.uint8:
         arr = np.asarray(np.clip(arr, 0.0, 1.0) * 255.0 + 0.5, np.uint8)
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
+    # fastest zlib level: the stream is viewed once, never stored, and
+    # encode time is on the interactive critical path
+    Image.fromarray(arr).save(buf, format="PNG", compress_level=1)
     return buf.getvalue()
 
 
@@ -189,7 +193,15 @@ class _State:
     """Render state shared across requests; one lock serializes renders
     and scene mutation (the editor loop is single-threaded too)."""
 
-    def __init__(self, scene, library, config, mipmaps=False, dt=1.0 / 60.0):
+    def __init__(
+        self,
+        scene,
+        library,
+        config,
+        mipmaps=False,
+        dt=1.0 / 60.0,
+        pipeline=False,
+    ):
         from syzygy_tpu.runtime import place_on_accelerator
         from syzygy_tpu.scene import pack_geometry
 
@@ -206,6 +218,14 @@ class _State:
         self._dirty = True
         self._fps = None
         self._last_ms = 0.0
+        # 2-frames-in-flight presentation (editor/framebuffer.cpp:134
+        # semantics): when on, a dirty request DISPATCHES the new frame and
+        # returns the previous one immediately; the next request fetches
+        # the finished dispatch, so device compute overlaps host encode +
+        # client RTT at the cost of one frame of latency. stats() reports
+        # pipeline_pending so the page can drain when input stops.
+        self.pipeline = pipeline
+        self._pending = None
 
     def render_png(self) -> bytes:
         import time
@@ -218,31 +238,59 @@ class _State:
         )
 
         with self.lock:
-            if not self._dirty and self._frame_png is not None:
+            if (
+                not self._dirty
+                and self._frame_png is not None
+                and self._pending is None
+            ):
                 return self._frame_png
-            params = pack_frame_params(self.scene, self.aspect)
-            spec = frame_param_spec(params)
-            flat = flatten_frame_params(
-                params, spec, np.empty(spec.total, np.float32)
-            )
             from syzygy_tpu.runtime import fetch_frame_u8
 
             t0 = time.perf_counter()
-            # u8 quantization happens on device: the f32 fetch (4x the
-            # bytes) dominated the interactive frame through the tunnel.
-            image = fetch_frame_u8(
-                render_frame_packed(self.geometry, flat, spec, self.config)
-            )
-            self._last_ms = (time.perf_counter() - t0) * 1e3
-            if self._fps is not None:  # first render includes the compile
-                self._fps.write(1e3 / max(self._last_ms, 1e-6))
+            fut = None
+            if self._dirty or (
+                self._frame_png is None and self._pending is None
+            ):
+                params = pack_frame_params(self.scene, self.aspect)
+                spec = frame_param_spec(params)
+                flat = flatten_frame_params(
+                    params, spec, np.empty(spec.total, np.float32)
+                )
+                # async dispatch: returns before the device finishes
+                fut = render_frame_packed(
+                    self.geometry, flat, spec, self.config
+                )
+                self._dirty = False
+            if self._pending is not None:
+                # fetch the frame dispatched on the PREVIOUS request (it
+                # computed while the host encoded/served that response)
+                image = fetch_frame_u8(self._pending)
+                self._pending = fut
+            elif fut is not None and self.pipeline and self._frame_png:
+                # start the pipeline: leave the dispatch in flight and
+                # answer with the previous frame (one frame of latency)
+                self._pending = fut
+                self._note_frame_time(t0)
+                return self._frame_png
             else:
-                from syzygy_tpu.utils import RingBuffer
-
-                self._fps = RingBuffer()
+                # cold first frame (or pipelining off): synchronous
+                # u8 quantization happens on device: the f32 fetch (4x
+                # the bytes) dominated the frame through the tunnel.
+                image = fetch_frame_u8(fut)
+            self._note_frame_time(t0)
             self._frame_png = _png_bytes(image)
-            self._dirty = False
             return self._frame_png
+
+    def _note_frame_time(self, t0) -> None:
+        import time
+
+        self._last_ms = (time.perf_counter() - t0) * 1e3
+        if self._fps is not None:  # first render includes the compile
+            self._fps.write(1e3 / max(self._last_ms, 1e-6))
+        else:
+            from syzygy_tpu.utils import RingBuffer
+
+            self._fps = RingBuffer()
 
     def stats(self):
         """Performance-window analog (ui/statelesswidgets.cpp:98-161): the
@@ -262,6 +310,9 @@ class _State:
                 "last_ms": self._last_ms,
                 "fps": None if self._fps is None else self._fps.report(),
                 "draw_results": draw,
+                # a dispatched frame is still in flight; one more
+                # /frame.png request drains it (page auto-refreshes)
+                "pending": self._pending is not None,
             }
 
     def handle_input(self, keys: str, cursor, dt: float):
@@ -342,7 +393,7 @@ class _State:
 def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
     """Run the interactive viewer until interrupted (or after ``frames``
     rendered frames when > 0 — used by the smoke test)."""
-    state = _State(scene, library, config, mipmaps=mipmaps)
+    state = _State(scene, library, config, mipmaps=mipmaps, pipeline=True)
     rendered = [0]
 
     class Handler(BaseHTTPRequestHandler):

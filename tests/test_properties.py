@@ -217,3 +217,40 @@ def test_serve_texture_inspector():
     assert png[:4] == b"\x89PNG"
     with pytest.raises(KeyError):
         state.texture_png("no-such-texture")
+
+
+def test_serve_pipeline_double_buffer():
+    """2-frames-in-flight presentation (editor/framebuffer.cpp:134): a
+    dirty request returns the PREVIOUS frame and leaves the new dispatch
+    in flight; the drain request (no new input) fetches it. The drained
+    frame must equal what a non-pipelined render of the same scene state
+    produces, and stats() must advertise the pending dispatch."""
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    cfg = RenderConfig(
+        width=64, height=32, shadow_dim=128,
+        skyview_width=64, skyview_height=16,
+    )
+    scene, library = default_scene()
+    state = _State(scene, library, cfg, pipeline=True)
+
+    png1 = state.render_png()  # cold first frame: synchronous
+    assert not state.stats()["pending"]
+
+    state.handle_input("w", (0.0, 0.0), 0.25)
+    stale = state.render_png()  # dispatches, answers with the old frame
+    assert stale is png1
+    assert state.stats()["pending"]
+
+    png2 = state.render_png()  # drain: no input since, fetches in-flight
+    assert png2 != png1
+    assert not state.stats()["pending"]
+    assert state.render_png() is png2  # clean + drained serves the cache
+
+    # the pipelined result is the same frame a synchronous state renders
+    scene2, library2 = default_scene()
+    ref = _State(scene2, library2, cfg)
+    ref.handle_input("w", (0.0, 0.0), 0.25)
+    assert ref.render_png() == png2

@@ -81,13 +81,42 @@ def main():
         )
         return mean
 
+    def leg_pipelined(name, n=30):
+        """The actually-served path: _State.render_png with 2-frames-in-
+        flight double buffering (request-to-request time; frames lag input
+        by one)."""
+        st = _State(scene, library, config, pipeline=True)
+        st.geometry = state.geometry  # share the uploaded tables
+        times = []
+        first = None
+        for i in range(n):
+            st.handle_input("w" if i % 2 else "s", (0.0, 0.0), 1 / 60)
+            t0 = time.perf_counter()
+            png = st.render_png()
+            dt = (time.perf_counter() - t0) * 1e3
+            if i == 0:
+                first = dt
+            else:
+                times.append(dt)
+        mean = float(np.mean(times))
+        print(
+            f"{name}: first {first:.0f} ms; steady {mean:.1f} ms/frame "
+            f"({1e3 / mean:.1f} FPS), min {min(times):.1f}, "
+            f"png {len(png)} B",
+            flush=True,
+        )
+        return mean
+
     # BABA order so session drift cannot masquerade as the effect
     a1 = leg("A f32-fetch", False)
     b1 = leg("B u8-fetch ", True)
+    c1 = leg_pipelined("C pipelined")
+    c2 = leg_pipelined("C pipelined")
     b2 = leg("B u8-fetch ", True)
     a2 = leg("A f32-fetch", False)
     print(
         f"mean A {np.mean([a1, a2]):.1f} ms vs B {np.mean([b1, b2]):.1f} ms"
+        f" vs C {np.mean([c1, c2]):.1f} ms"
     )
 
 
