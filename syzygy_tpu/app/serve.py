@@ -264,7 +264,16 @@ class _State:
             if self._pending is not None:
                 # fetch the frame dispatched on the PREVIOUS request (it
                 # computed while the host encoded/served that response)
-                image = fetch_frame_u8(self._pending)
+                pend, self._pending = self._pending, None
+                try:
+                    image = fetch_frame_u8(pend)
+                except Exception:
+                    # a faulted program surfaces here (see CLAUDE.md
+                    # landmine 11); drop both frames and mark dirty so
+                    # the next request re-dispatches instead of
+                    # refetching the crashed value forever
+                    self._dirty = True
+                    raise
                 self._pending = fut
             elif fut is not None and self.pipeline and self._frame_png:
                 # start the pipeline: leave the dispatch in flight and
