@@ -186,9 +186,16 @@ def main() -> None:
                 log.error("no texture named %r (see --list-textures)", name)
                 continue
             safe = name.replace("/", "_")
+            tex = library.get(idx)[..., :3]
+            if library.is_srgb(idx):
+                # re-encode sRGB-decoded color maps for display (the
+                # stored texels are linear-light; see serve.texture_png)
+                from syzygy_tpu.assets.types import linear_to_srgb
+
+                tex = linear_to_srgb(tex)
             write_png(
                 os.path.join(args.out, f"texture_{safe}.png"),
-                library.get(idx)[..., :3],
+                tex,
             )
             log.info("dumped texture %s", name)
     if args.time_of_day is not None:

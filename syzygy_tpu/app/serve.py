@@ -58,9 +58,20 @@ _PAGE = """<!DOCTYPE html>
 <div id="view">
   <img id="frame" src="/frame.png?v=0" tabindex="0">
   <div id="hud">WASDQE move &middot; drag to look &middot;
-    <span id="status">ready</span> &middot; <span id="perf"></span></div>
+    <span id="status">ready</span> &middot; <span id="perf"></span>
+    <canvas id="spark" width="180" height="34"
+      style="vertical-align:middle; border:1px solid #24272c;"
+      title="FPS history (500-sample ring)"></canvas></div>
 </div>
 <div id="panel">
+  <div id="loadbar" style="margin-bottom:6px;">
+    <input id="loadpath" class="val" style="width:200px"
+      placeholder="/path/to/scene.glb or image">
+    <select id="loadmode"><option value="merge">merge</option>
+      <option value="replace">replace</option></select>
+    <label><input id="loadsrgb" type="checkbox" checked>sRGB</label>
+    <button id="loadbtn">load</button>
+  </div>
   <div id="texbar">
     <select id="texsel"><option value="">(inspect texture...)</option>
     </select>
@@ -83,6 +94,7 @@ function refresh() {
       const s = await (await fetch('/api/stats')).json();
       document.getElementById('perf').textContent =
         s.last_ms.toFixed(0) + ' ms | fps ' + (s.fps || '-');
+      drawSpark(s.fps_samples);
       // drain the 2-frames-in-flight pipeline when input stops
       if (s.pending) pending = true;
     } catch (e) {}
@@ -94,6 +106,35 @@ async function post(url, body) {
   const r = await fetch(url, {method:'POST', body:JSON.stringify(body)});
   return r.json();
 }
+// FPS sparkline (the ImPlot performance graph, statelesswidgets.cpp:98-161)
+function drawSpark(samples) {
+  const c = document.getElementById('spark'), ctx = c.getContext('2d');
+  ctx.clearRect(0, 0, c.width, c.height);
+  if (!samples || samples.length < 2) return;
+  const max = Math.max(...samples), min = Math.min(...samples);
+  const span = Math.max(max - min, 1e-6);
+  ctx.strokeStyle = '#9ece6a'; ctx.lineWidth = 1; ctx.beginPath();
+  samples.forEach((v, i) => {
+    const x = i / (samples.length - 1) * (c.width - 2) + 1;
+    const y = c.height - 2 - (v - min) / span * (c.height - 4);
+    i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+  });
+  ctx.stroke();
+}
+// runtime asset loading (the reference's mid-session file dialogs)
+document.getElementById('loadbtn').onclick = async () => {
+  const path = document.getElementById('loadpath').value.trim();
+  if (!path) return;
+  status.textContent = 'loading...';
+  const r = await post('/api/load', {
+    path: path,
+    merge: document.getElementById('loadmode').value === 'merge',
+    srgb: document.getElementById('loadsrgb').checked,
+  });
+  if (r.error) { status.textContent = r.error; return; }
+  status.textContent = 'loaded ' + JSON.stringify(r);
+  loadProps(); loadTextures(); refresh();
+};
 // fly camera: keys + mouse drag through the InputHandler path
 const keys = new Set();
 addEventListener('keydown', e => {
@@ -158,6 +199,7 @@ loadProps();
 async function loadTextures() {
   const texs = await (await fetch('/api/textures')).json();
   const sel = document.getElementById('texsel');
+  sel.innerHTML = '<option value="">(inspect texture...)</option>';
   for (const t of texs) {
     const o = document.createElement('option');
     o.value = t.name; o.textContent = t.name + ' (' + t.w + 'x' + t.h + ')';
@@ -277,9 +319,10 @@ class _State:
                 self._pending = fut
             elif fut is not None and self.pipeline and self._frame_png:
                 # start the pipeline: leave the dispatch in flight and
-                # answer with the previous frame (one frame of latency)
+                # answer with the previous frame (one frame of latency).
+                # NOT a frame time — recording the dispatch-only ms here
+                # wrote one inflated FPS sample per pipeline resume.
                 self._pending = fut
-                self._note_frame_time(t0)
                 return self._frame_png
             else:
                 # cold first frame (or pipelining off): synchronous
@@ -318,6 +361,11 @@ class _State:
             return {
                 "last_ms": self._last_ms,
                 "fps": None if self._fps is None else self._fps.report(),
+                # the 500-sample ring, oldest-to-newest, for the HUD
+                # sparkline (ImPlot performance graph analog)
+                "fps_samples": (
+                    [] if self._fps is None else self._fps.history()
+                ),
                 "draw_results": draw,
                 # a dispatched frame is still in flight; one more
                 # /frame.png request drains it (page auto-refreshes)
@@ -383,7 +431,90 @@ class _State:
             idx = self.library.lookup(name)
             if idx is None:
                 raise KeyError(f"no texture named {name!r}")
-            return _png_bytes(self.library.get(idx)[..., :3])
+            img = self.library.get(idx)[..., :3]
+            if self.library.is_srgb(idx):
+                # color maps were sRGB-decoded at register time; re-encode
+                # for display so they round-trip to source brightness (the
+                # frame path applies the OETF pre-output the same way)
+                from syzygy_tpu.assets.types import linear_to_srgb
+
+                img = linear_to_srgb(img)
+            return _png_bytes(img)
+
+    def load_asset(self, path: str, srgb: bool = True, merge: bool = True):
+        """Runtime asset loading (the reference's mid-session file dialogs,
+        ``assets/assets.cpp:1615-1667`` + ``ui/uiwidgets.hpp:74-99``):
+
+        * ``.glb``/``.gltf`` — load meshes + textures. ``merge=True`` adds
+          the file's meshes as new instances in the CURRENT scene (the
+          reference's loadMeshDialog semantics); ``merge=False`` replaces
+          the whole scene (camera pose carried over).
+        * image files — register as a texture with the per-file
+          sRGB/linear choice (the loadImageDialog's checkbox).
+
+        Geometry/atlas repack + device upload happen before returning; the
+        next frame renders the new content.
+        """
+        import os
+
+        ext = os.path.splitext(path)[1].lower()
+        from syzygy_tpu.runtime import place_on_accelerator
+        from syzygy_tpu.scene import pack_geometry
+
+        with self.lock:
+            if ext in (".glb", ".gltf"):
+                from syzygy_tpu.assets.gltf import (
+                    load_gltf_meshes,
+                    load_gltf_scene,
+                )
+
+                if merge:
+                    from syzygy_tpu.scene.scene import TransformHost
+
+                    meshes, _ = load_gltf_meshes(path, self.library)
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    for i, mesh in enumerate(meshes):
+                        self.scene.add_mesh_instance(
+                            mesh,
+                            f"{base}_{i}",
+                            [TransformHost.make((0.0, 0.0, 0.0))],
+                        )
+                    loaded = {"meshes": len(meshes)}
+                else:
+                    old_cam = self.scene.camera
+                    scene, library = load_gltf_scene(path)
+                    scene.camera.position = old_cam.position
+                    scene.camera.euler_angles = old_cam.euler_angles
+                    self.scene, self.library = scene, library
+                    loaded = {"scene": os.path.basename(path)}
+            else:
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.open(path).convert("RGBA"), np.uint8
+                )
+                name = os.path.basename(path)
+                self.library.register(name, img, srgb=srgb)
+                loaded = {"texture": name, "srgb": srgb}
+            # metallic_reflection is a static scene property (bitwise skip
+            # when provably unused) — recompute for the new content
+            import dataclasses
+
+            from syzygy_tpu.scene import scene_uses_metallic
+
+            self.config = dataclasses.replace(
+                self.config,
+                metallic_reflection=scene_uses_metallic(
+                    self.scene, self.library
+                ),
+            )
+            self._geometry_host = pack_geometry(
+                self.scene, self.library, mipmaps=self.mipmaps
+            )
+            self.geometry = place_on_accelerator(self._geometry_host)
+            self._pending = None  # in-flight frames show the old content
+            self._dirty = True
+            return loaded
 
     def properties(self):
         from syzygy_tpu.app.properties import _fmt, discover
@@ -472,6 +603,17 @@ def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
                 from syzygy_tpu.app.properties import _fmt
 
                 self._send(200, json.dumps({"value": _fmt(value)}).encode())
+            elif self.path == "/api/load":
+                try:
+                    loaded = state.load_asset(
+                        body.get("path", ""),
+                        srgb=bool(body.get("srgb", True)),
+                        merge=bool(body.get("merge", True)),
+                    )
+                except Exception as e:
+                    self._send(200, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps(loaded).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
 

@@ -72,6 +72,21 @@ def srgb_to_linear(srgb: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
+    """OETF: the sRGB transfer (``oetf_srgb.comp``), numpy host-side.
+
+    Inverse of :func:`srgb_to_linear`; used when DISPLAYING stored
+    linear-light texels (texture inspector / dumps) so color maps that were
+    sRGB-decoded at register time round-trip back to their source pixel
+    values instead of showing darker."""
+    linear = np.clip(linear.astype(np.float32), 0.0, 1.0)
+    return np.where(
+        linear <= 0.0031308,
+        linear * 12.92,
+        1.055 * linear ** (1.0 / 2.4) - 0.055,
+    ).astype(np.float32)
+
+
 class TextureLibrary:
     """Registry of native-resolution float32 textures.
 
@@ -90,6 +105,7 @@ class TextureLibrary:
         self.max_size = max_size
         self._textures: list[np.ndarray] = []
         self._names: dict[str, int] = {}
+        self._srgb: list[bool] = []
 
     def register(
         self, name: str, rgba: np.ndarray, srgb: bool = False
@@ -120,10 +136,18 @@ class TextureLibrary:
         idx = len(self._textures)
         self._textures.append(np.ascontiguousarray(img, np.float32))
         self._names[name] = idx
+        self._srgb.append(srgb)
         return idx
 
     def lookup(self, name: str) -> Optional[int]:
         return self._names.get(name)
+
+    def is_srgb(self, idx: int) -> bool:
+        """Whether the texture was sRGB-decoded at register time (color
+        maps). Display paths re-encode these through the OETF so they show
+        at source brightness (the reference presents through an sRGB-aware
+        swapchain; linear UNORM maps display raw)."""
+        return self._srgb[idx]
 
     def names(self) -> list[str]:
         """Registered asset names, index-ordered (TextureDisplay's asset

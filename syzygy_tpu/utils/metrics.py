@@ -37,6 +37,13 @@ class RingBuffer:
     def values(self) -> list[float]:
         return self._values[: self._count]
 
+    def history(self) -> list[float]:
+        """Samples oldest-to-newest (the ImPlot graph's x order,
+        ``ui/statelesswidgets.cpp:98-161`` plots the ring as a line)."""
+        if self._count < self.CAPACITY:
+            return self._values[: self._count]
+        return self._values[self._index :] + self._values[: self._index]
+
     def report(self) -> str:
         vals = self.values()
         if not vals:

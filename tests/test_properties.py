@@ -254,3 +254,123 @@ def test_serve_pipeline_double_buffer():
     ref = _State(scene2, library2, cfg)
     ref.handle_input("w", (0.0, 0.0), 0.25)
     assert ref.render_png() == png2
+
+
+def test_serve_runtime_asset_loading(tmp_path):
+    """/api/load: the reference's mid-session file dialogs
+    (assets/assets.cpp:1615-1667 loads glTF meshes; ui/uiwidgets.hpp:74-99
+    loads images with a per-file sRGB/linear choice). Merge adds the file's
+    meshes to the current scene; replace swaps the whole scene (camera pose
+    carried over); image paths register a texture with the sRGB flag."""
+    import os
+
+    from PIL import Image
+
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    cfg = RenderConfig(
+        width=64, height=32, shadow_dim=128,
+        skyview_width=64, skyview_height=16,
+    )
+    scene, library = default_scene()
+    state = _State(scene, library, cfg, pipeline=True)
+    png1 = state.render_png()
+    n_before = len(state.scene.geometry)
+
+    glb = os.path.join(os.path.dirname(__file__), "..", "assets", "sphere.glb")
+    tris_before = state._geometry_host.triangles.shape[0]
+    out = state.load_asset(glb, merge=True)
+    assert out == {"meshes": 1}
+    assert len(state.scene.geometry) == n_before + 1
+    # the repacked device geometry includes the new mesh's triangles
+    assert state._geometry_host.triangles.shape[0] > tris_before
+    png2 = state.render_png()
+    assert png2[:4] == b"\x89PNG"
+
+    # image load with per-file sRGB choice
+    img_path = tmp_path / "tex.png"
+    Image.fromarray(
+        np.tile(np.array([[64, 128]], np.uint8), (2, 1))[..., None].repeat(
+            4, -1
+        )
+    ).save(img_path)
+    out = state.load_asset(str(img_path), srgb=True)
+    assert out == {"texture": "tex.png", "srgb": True}
+    idx = state.library.lookup("tex.png")
+    assert idx is not None and state.library.is_srgb(idx)
+    # linear registration keeps raw values
+    img2_path = tmp_path / "lin.png"
+    Image.fromarray(np.full((2, 2, 4), 128, np.uint8)).save(img2_path)
+    state.load_asset(str(img2_path), srgb=False)
+    lin_idx = state.library.lookup("lin.png")
+    np.testing.assert_allclose(
+        state.library.get(lin_idx), 128 / 255.0, atol=1e-6
+    )
+
+    # replace: a fresh scene, camera pose carried over
+    pos = state.scene.camera.position
+    out = state.load_asset(glb, merge=False)
+    assert out == {"scene": "sphere.glb"}
+    assert len(state.scene.geometry) == 1
+    assert tuple(state.scene.camera.position) == tuple(pos)
+    png3 = state.render_png()
+    assert png3[:4] == b"\x89PNG"
+
+    import pytest
+
+    with pytest.raises(Exception):
+        state.load_asset("/no/such/file.glb")
+
+
+def test_serve_texture_srgb_display_roundtrip(tmp_path):
+    """texture_png re-encodes sRGB-decoded color maps through the OETF so
+    the inspector shows source brightness (stored texels are linear-light;
+    serving them raw displayed color maps visibly darker)."""
+    from PIL import Image
+
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    scene, library = default_scene()
+    src = np.zeros((2, 2, 4), np.uint8)
+    src[..., :3] = 100  # mid-gray: sRGB decode moves it a lot (~31 linear)
+    src[..., 3] = 255
+    library.register("color_map", src, srgb=True)
+    library.register("linear_map", src, srgb=False)
+    state = _State(
+        scene, library,
+        RenderConfig(width=64, height=32, shadow_dim=128,
+                     skyview_width=64, skyview_height=16),
+    )
+
+    import io
+
+    def served_pixel(name):
+        png = state.texture_png(name)
+        arr = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        return int(arr[0, 0, 0])
+
+    # sRGB round-trip: decode-at-register + OETF-at-display = source value
+    assert abs(served_pixel("color_map") - 100) <= 1
+    # linear maps serve raw stored values (no re-encode)
+    assert served_pixel("linear_map") == 100
+
+
+def test_ring_buffer_history_order():
+    """RingBuffer.history(): oldest-to-newest across the wrap point (the
+    sparkline's x axis, ui/statelesswidgets.cpp:98-161)."""
+    from syzygy_tpu.utils import RingBuffer
+
+    rb = RingBuffer()
+    for i in range(7):
+        rb.write(float(i))
+    assert rb.history() == [float(i) for i in range(7)]
+    for i in range(7, RingBuffer.CAPACITY + 10):
+        rb.write(float(i))
+    hist = rb.history()
+    assert len(hist) == RingBuffer.CAPACITY
+    assert hist[0] == 10.0 and hist[-1] == float(RingBuffer.CAPACITY + 9)
+    assert hist == sorted(hist)
