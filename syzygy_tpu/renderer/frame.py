@@ -481,6 +481,15 @@ class RenderConfig:
     # metallic-free scenes — far inside the 1e-3 parity budget — while
     # removing one full 32-step LUT-ratio integral per pixel.
     fast_sky_reflection: bool = True
+    # Multi-chip only: shard the camera raster's O(T) triangle-setup slot
+    # math (corner gather + clip fan + coefficient build) over the sp mesh
+    # axis and rejoin via all_gather, instead of every device repeating the
+    # full-scene setup (kernels/raster.py::setup_triangles shard_axis).
+    # Exact (slot order preserved; T pads to a device multiple with invalid
+    # slots). Matters for triangle-heavy scenes: on the 254k-tri dense
+    # field the replicated setup+transform line is ~12 ms against a
+    # projected ~30-50 ms sp=8 frame budget. No effect single-chip.
+    shard_triangle_setup: bool = True
 
     @property
     def render_width(self) -> int:
@@ -683,7 +692,9 @@ def _geometry_body(
     Shared by the jitted single-chip stage (:func:`_stage_geometry`) and the
     sharded row path (:func:`render_frame_rows`) — ``row0`` may be traced,
     and ``shadow_shard_axis`` partitions the shadow rasters across a mesh
-    axis (light parallelism, rejoined via ``all_gather``)."""
+    axis (light parallelism, rejoined via ``all_gather``); the same axis
+    shards the camera setup's O(T) slot math when
+    ``config.shard_triangle_setup``."""
     local_rows = config.padded_height if local_rows is None else local_rows
     state = prepare_frame_state(params)
     proj_view = state.camera.projection @ state.camera.view
@@ -713,6 +724,9 @@ def _geometry_body(
         grid_width=config.padded_width,
         grid_height=local_rows,
         grid_origin=(row0, 0),
+        shard_axis=(
+            shadow_shard_axis if config.shard_triangle_setup else None
+        ),
     )
     vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
     if _defers_resolve(config, geometry):
