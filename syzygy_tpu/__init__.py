@@ -33,6 +33,26 @@ import jax as _jax
 if _os.environ.get("SZG_CPU") == "1" or "--cpu" in _sys.argv:
     _jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (the analog of the reference's runtime
+# SPIR-V loading, renderer/shaders.cpp:491-641 — its shaders never
+# recompile across runs; neither should our programs). Measured on the
+# tunneled TPU (tools/r5_session.py, one session): the 512x256 viewer
+# frame's cold start is 165 s dispatch + 1230 s to first pixel; with a
+# warm cache 31 s + 180 s — the executable deserializes from disk instead
+# of re-running the remote compiler. Opt out with SZG_NO_COMPILE_CACHE=1;
+# override the location with JAX_COMPILATION_CACHE_DIR (which jax itself
+# honors — we only set the config when nothing else has).
+if (
+    _os.environ.get("SZG_NO_COMPILE_CACHE") != "1"
+    and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    and _jax.config.jax_compilation_cache_dir is None
+):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/syzygy_tpu/xla"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 # Geometry (4x4 transforms, vertex transforms, LUT math) needs true float32:
 # the default matmul precision lowers to bf16 on TPU, which visibly warps
 # projections (~1e-3 error). Hot kernels that can tolerate bf16 opt in locally

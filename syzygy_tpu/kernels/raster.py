@@ -380,8 +380,10 @@ def setup_triangles(
     build — across the named mesh axis and rejoin via ``all_gather``,
     so image-space sharding stops replicating the triangle setup on every
     device (the grid-dependent origin fold + tile masks are per-device
-    and stay local). Identical results to the unsharded setup (slot order
-    preserved; only T pads to a device multiple, adding invalid slots).
+    and stay local). BITWISE-identical to the unsharded setup (slot order
+    preserved; elementwise math on row slices). Requires the device count
+    to divide T (pack_geometry's chunk padding guarantees it for
+    power-of-two meshes; otherwise falls back to replicated setup).
 
     Replaces the fixed-function clipper + triangle setup. Each input triangle
     yields two slots (slot t and slot T+t); crossing triangles split into a
@@ -410,6 +412,13 @@ def setup_triangles(
     grid_width = round_up(width, tile_w) if grid_width is None else grid_width
     grid_height = round_up(height, tile_h) if grid_height is None else grid_height
 
+    if shard_axis is not None and (
+        triangles.shape[0] % jax.lax.axis_size(shard_axis) != 0
+    ):
+        # pack_geometry pads T to a chunk (64) multiple, so every
+        # power-of-two device count divides it; an exotic mesh that does
+        # not simply keeps the replicated setup (correct, just unsharded)
+        shard_axis = None
     if shard_axis is not None:
         # Shard the origin-free per-triangle math over the mesh axis
         # (VERDICT r4 #4): each device computes the slot records for a
@@ -417,33 +426,19 @@ def setup_triangles(
         # cheap origin fold + tile/chunk masks (grid-dependent) run
         # replicated. Slot layout stays canonical ([all A slots, all B
         # slots] in global triangle order) so raster results — including
-        # last-wins depth ties — are IDENTICAL to the unsharded setup up
-        # to T padding (extra invalid slots; never rasterized).
+        # last-wins depth ties — are IDENTICAL to the unsharded setup.
         n_dev = jax.lax.axis_size(shard_axis)
         my = jax.lax.axis_index(shard_axis)
         n_t = triangles.shape[0]
-        t_pad = round_up(n_t, n_dev)
-        t_loc = t_pad // n_dev
-
-        def pad_rows(x, total, fill=0):
-            return jnp.concatenate(
-                [
-                    x,
-                    jnp.full((total - x.shape[0],) + x.shape[1:], fill, x.dtype),
-                ],
-                axis=0,
-            )
-
-        tri_p = pad_rows(triangles, t_pad)
-        val_p = pad_rows(tri_valid, t_pad, False)
+        t_loc = n_t // n_dev
         start = my * t_loc
-        val_l = jax.lax.dynamic_slice_in_dim(val_p, start, t_loc)
+        val_l = jax.lax.dynamic_slice_in_dim(tri_valid, start, t_loc)
         if corner_clip is None:
-            tri_l = jax.lax.dynamic_slice_in_dim(tri_p, start, t_loc)
+            tri_l = jax.lax.dynamic_slice_in_dim(triangles, start, t_loc)
             corners_l = clip[tri_l]
         else:
             corners_l = jax.lax.dynamic_slice_in_dim(
-                pad_rows(corner_clip, t_pad), start, t_loc
+                corner_clip, start, t_loc
             )
         cols_l, bary_l, w_l = _setup_slots(
             corners_l, val_l, width, height, cull_keep_sign,
@@ -451,11 +446,11 @@ def setup_triangles(
         )
 
         def rejoin(x):
-            # (n_dev, 2*t_loc, ...) -> canonical (2*t_pad, ...):
+            # (n_dev, 2*t_loc, ...) -> canonical (2T, ...):
             # all A slots in global order, then all B slots
             g = jax.lax.all_gather(x, shard_axis)
-            a = g[:, :t_loc].reshape((t_pad,) + x.shape[1:])
-            b = g[:, t_loc:].reshape((t_pad,) + x.shape[1:])
+            a = g[:, :t_loc].reshape((n_t,) + x.shape[1:])
+            b = g[:, t_loc:].reshape((n_t,) + x.shape[1:])
             return jnp.concatenate([a, b], axis=0)
 
         cols, all_bary, w_all = (

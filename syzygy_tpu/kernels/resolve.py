@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from syzygy_tpu.kernels.raster import TriSetup, VisibilityBuffer
@@ -304,6 +305,7 @@ def build_resolve_records(
     geometry: GeometryStatic,
     world_positions: jnp.ndarray,  # (V, 3)
     world_normals: jnp.ndarray,  # (V, 3)
+    shard_axis: str | None = None,
 ) -> jnp.ndarray:
     """Pre-joined per-clipped-triangle attribute records, (T2, 49) f32.
 
@@ -336,43 +338,109 @@ def build_resolve_records(
     n_t = geometry.triangles.shape[0]
     assert t2_pad >= 2 * n_t, (t2_pad, n_t)
 
-    def tile2(table):  # (T, ...) -> (t2_pad, ...) matching orig_tri layout
-        out = jnp.concatenate([table, table], axis=0)
-        pad = t2_pad - out.shape[0]
-        if pad:
-            out = jnp.concatenate(
-                [out, jnp.zeros((pad, *table.shape[1:]), table.dtype)], axis=0
-            )
-        return out
+    if shard_axis is not None and n_t % jax.lax.axis_size(shard_axis) != 0:
+        shard_axis = None  # exotic device count: keep the replicated build
+    if shard_axis is None:
+        rows = _record_rows(
+            geometry.triangles,
+            geometry.tri_material,
+            setup.corner_bary[: 2 * n_t],
+            setup.corner_w[: 2 * n_t],
+            geometry,
+            world_positions,
+            world_normals,
+        )
+    else:
+        # Shard the O(T) table gathers over the mesh axis (the same
+        # pattern as setup_triangles' shard_axis): each device builds the
+        # records for a T/n_dev triangle slice — BOTH its A and B slots,
+        # which share the per-triangle gathers — and an all_gather rejoins
+        # them in canonical [A block, B block] slot order. Bitwise: row
+        # slices of elementwise math.
+        n_dev = jax.lax.axis_size(shard_axis)
+        my = jax.lax.axis_index(shard_axis)
+        loc = n_t // n_dev
+        start = my * loc
 
-    tris = geometry.triangles  # (T, 3)
-    p = tile2(world_positions[tris])  # (T2, 3, 3) original corners
-    n = tile2(world_normals[tris])  # (T2, 3, 3)
-    u = tile2(geometry.uvs[tris])  # (T2, 3, 2)
-    cb = setup.corner_bary  # (T2, 3, 2)
+        def sl(x, off=0):
+            return jax.lax.dynamic_slice_in_dim(x, off + start, loc)
+
+        def slot2(x):  # matching [A slice; B slice] slot rows
+            return jnp.concatenate([sl(x), sl(x, n_t)], axis=0)
+
+        local = _record_rows(
+            sl(geometry.triangles),
+            sl(geometry.tri_material),
+            slot2(setup.corner_bary),
+            slot2(setup.corner_w),
+            geometry,
+            world_positions,
+            world_normals,
+        )
+        g = jax.lax.all_gather(local, shard_axis)  # (n_dev, 2*loc, W)
+        a = g[:, :loc].reshape(n_t, g.shape[-1])
+        b = g[:, loc:].reshape(n_t, g.shape[-1])
+        rows = jnp.concatenate([a, b], axis=0)
+    pad = t2_pad - rows.shape[0]
+    if pad:
+        # pad slots keep corner_w == 1 (cols 0:3), matching TriSetup's own
+        # padding: background pixels gather SOME record row (vis.tri == -1
+        # wraps), and a zero w would manufacture 0/0 NaNs upstream of the
+        # background mask
+        pad_rows = jnp.concatenate(
+            [
+                jnp.ones((pad, 3), rows.dtype),
+                jnp.zeros((pad, rows.shape[1] - 3), rows.dtype),
+            ],
+            axis=-1,
+        )
+        rows = jnp.concatenate([rows, pad_rows], axis=0)
+    return rows
+
+
+def _record_rows(
+    tris,  # (L, 3) triangle slice
+    mats,  # (L,) material ids
+    cb,  # (2L, 3, 2) corner bary for the matching [A; B] slots
+    corner_w,  # (2L, 3)
+    geometry: GeometryStatic,
+    world_positions: jnp.ndarray,
+    world_normals: jnp.ndarray,
+) -> jnp.ndarray:
+    """Records for one triangle slice's [A slots; B slots] (2L rows).
+
+    The per-triangle table gathers (positions/normals/uvs/rects — the O(T)
+    cost) run once per input triangle and tile over both slots."""
+
+    def tile2(table):  # (L, ...) -> (2L, ...)
+        return jnp.concatenate([table, table], axis=0)
+
+    p = tile2(world_positions[tris])  # (2L, 3, 3) original corners
+    n = tile2(world_normals[tris])  # (2L, 3, 3)
+    u = tile2(geometry.uvs[tris])  # (2L, 3, 2)
     w3 = jnp.concatenate([cb, 1.0 - cb[..., 0:1] - cb[..., 1:2]], axis=-1)
     cp = jnp.einsum("tkj,tjc->tkc", w3, p)  # clipped corners' attributes
     cn = jnp.einsum("tkj,tjc->tkc", w3, n)
     cu = jnp.einsum("tkj,tjc->tkc", w3, u)
+    t2 = 2 * tris.shape[0]
     if geometry.tex_rects_joint is not None:
         rect_cols = tile2(
-            geometry.tex_rects_joint[geometry.tri_material]
-        ).astype(jnp.float32)  # (T2, 4)
+            geometry.tex_rects_joint[mats]
+        ).astype(jnp.float32)  # (2L, 4)
         if geometry.tex_dims_joint is not None:
             # mixed-dim neighborhood joint atlas: the sampler recomputes
             # each role's own index math from its (w, h)
             dims_cols = tile2(
-                geometry.tex_dims_joint[geometry.tri_material].reshape(-1, 6)
-            ).astype(jnp.float32)  # (T2, 6) -> record width 47
+                geometry.tex_dims_joint[mats].reshape(-1, 6)
+            ).astype(jnp.float32)  # (2L, 6) -> record width 47
             rect_cols = jnp.concatenate([rect_cols, dims_cols], axis=-1)
     else:
         rect_cols = tile2(
-            geometry.tex_rects[geometry.materials[geometry.tri_material]]
-        ).reshape(t2_pad, 12).astype(jnp.float32)  # (T2, 12)
-    t2 = t2_pad
+            geometry.tex_rects[geometry.materials[mats]]
+        ).reshape(t2, 12).astype(jnp.float32)  # (2L, 12)
     return jnp.concatenate(
         [
-            setup.corner_w,
+            corner_w,
             cp.reshape(t2, 9),
             cn.reshape(t2, 9),
             cu.reshape(t2, 6),

@@ -7,13 +7,25 @@ a renderer are:
   per-pixel pass (raster, resolve, lighting, sky) is local to its rows; only
   the final image gather crosses chips — it rides ICI via the output sharding,
   no explicit collectives needed. Scene state and geometry are replicated
-  (a few MB; broadcast once).
+  (a few MB; broadcast once). The camera setup's O(T) slot math and the
+  shadow-map lights ALSO partition over ``sp`` (rejoined via ``all_gather``)
+  so triangle-heavy scenes don't replicate their setup per device.
 * ``dp`` (data/frame): independent frames (cameras/time steps) across devices,
   e.g. offline animation or multi-view rendering.
 
-Shadow maps and atmosphere LUTs are recomputed per device rather than sharded
-and gathered — they are small next to the per-pixel work, and recompute avoids
-an ICI round-trip on the frame critical path.
+Atmosphere LUTs are recomputed per device rather than sharded and gathered —
+they are small next to the per-pixel work (~3 ms), and recompute avoids an
+ICI round-trip on the frame critical path.
+
+Program partitioning (measured, tools/r5_session.py): the frame runs as TWO
+chained shard_map programs — geometry (vertex/shadow/raster/records) then
+lighting+sky — matching the single-chip chaining. The earlier ONE-program
+formulation measured 228 vs 119 ms/frame at (dp=1, sp=1) on the real chip
+(a 1.9x mono-program penalty, the same platform pathology as landmine 9's
+pathological fully-fused compiles); ``SHARDED_SPLIT_PROGRAMS=False``
+selects it (kept for A/B and for the vma-checked CI trace, which cannot
+express the split path's replicated-boundary out_specs — all_gather
+results are conservatively sp-varying to the vma checker).
 """
 
 from __future__ import annotations
@@ -24,7 +36,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from syzygy_tpu.renderer.frame import RenderConfig, render_frame_rows
+from syzygy_tpu.renderer.frame import (
+    RenderConfig,
+    _defers_resolve,
+    _geometry_body,
+    _stage_lighting_sky,
+    render_frame_rows,
+)
 from syzygy_tpu.scene.pack import FrameParams, GeometryStatic
 
 
@@ -33,8 +51,15 @@ from syzygy_tpu.scene.pack import FrameParams, GeometryStatic
 # listed raster's scalar-prefetch index_map, and the listed raster is the
 # production path — so the default stays False. CI flips this with the
 # listed raster disabled to get trace-time spec checking of everything
-# else (tests/test_frame.py::test_sharded_vma_checked).
+# else (tests/test_frame.py::test_sharded_vma_checked). vma checking also
+# requires the ONE-program formulation: the split path's stage boundary
+# declares state/records/shadow maps replicated over sp (true — but they
+# derive from all_gather, whose output the checker keeps sp-varying).
 CHECK_VMA = False
+
+# Two chained programs (production, measured faster) vs one fused program
+# (vma-checkable; 1.9x slower at sp=1 — see module docstring).
+SHARDED_SPLIT_PROGRAMS = True
 
 
 def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
@@ -47,19 +72,7 @@ def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh"))
-def render_frames_sharded(
-    geometry: GeometryStatic,
-    params_batch: FrameParams,  # leaves have leading batch dim B (B % dp == 0)
-    config: RenderConfig,
-    mesh: Mesh,
-) -> jnp.ndarray:
-    """Render a batch of frames over the (dp, sp) mesh.
-
-    Returns (B, height, width, 3). Rows are sharded over ``sp`` during
-    rendering; XLA inserts the gather implied by the output sharding.
-    """
-    sp = mesh.shape["sp"]
+def _local_rows(config: RenderConfig, sp: int) -> int:
     from syzygy_tpu.kernels.common import round_up
     from syzygy_tpu.kernels.raster import TILE_H
 
@@ -71,18 +84,122 @@ def render_frames_sharded(
     # 1 / 3 / 7 junk tile-rows at sp=2/4/8 — bounded waste, against which the
     # alternative (refusing non-divisible shapes) made the production shape
     # un-shardable (VERDICT r3 weak #2).
-    h_shard = round_up(config.padded_height, sp * TILE_H)
-    local_rows = h_shard // sp
+    return round_up(config.padded_height, sp * TILE_H) // sp
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _sharded_geometry(
+    geometry: GeometryStatic,
+    params_batch: FrameParams,
+    config: RenderConfig,
+    mesh: Mesh,
+):
+    """Program 1 of the split sharded frame: prepare + vertex transform +
+    shadow rasters (light-parallel over sp) + camera raster + records.
+
+    Outputs: state / records / shadow maps are sp-replicated (their
+    out_specs omit ``sp``; every device computed the identical value —
+    state from replicated params, records and maps through all_gathers);
+    the visibility buffer (or resolved G-buffer) is row-sharded."""
+    sp = mesh.shape["sp"]
+    rows = _local_rows(config, sp)
+
+    def fn(geometry, params_local):
+        row0 = jax.lax.axis_index("sp") * rows
+
+        def one(params):
+            return _geometry_body(
+                geometry, params, config, row0, rows,
+                shadow_shard_axis="sp",
+            )
+
+        return jax.vmap(one)(params_local)
+
+    defers = _defers_resolve(config, geometry)
+    out_specs = (
+        P("dp"),  # FrameState
+        P("dp", "sp"),  # VisibilityBuffer rows
+        P("dp") if defers else P("dp", "sp"),  # records | G-buffer rows
+        P("dp"),  # shadow maps
+    )
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=out_specs,
+        check_vma=False,
+    )(geometry, params_batch)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _sharded_finish(
+    geometry: GeometryStatic,
+    state,
+    vis,
+    gbuffer,  # records (T2, 49) when the resolve is deferred
+    shadow_maps,
+    config: RenderConfig,
+    mesh: Mesh,
+):
+    """Program 2: resolve + lighting + sky per row chunk (the single-chip
+    production formulation of ``_stage_lighting_sky``), on each device's
+    row block. Crops to the real framebuffer inside the program."""
+    sp = mesh.shape["sp"]
+    rows = _local_rows(config, sp)
+    defers = _defers_resolve(config, geometry)
+
+    def fn(geometry, state_l, vis_l, gb_l, maps_l):
+        row0 = jax.lax.axis_index("sp") * rows
+
+        def one(state1, vis1, gb1, maps1):
+            if defers:
+                return _stage_lighting_sky.__wrapped__(
+                    state1, vis1.depth, None, maps1, config, row0,
+                    vis1, gb1, geometry,
+                )
+            return _stage_lighting_sky.__wrapped__(
+                state1, vis1.depth, gb1, maps1, config, row0
+            )
+
+        return jax.vmap(one)(state_l, vis_l, gb_l, maps_l)
+
+    out = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P("dp"),
+            P("dp", "sp"),
+            P("dp") if defers else P("dp", "sp"),
+            P("dp"),
+        ),
+        out_specs=P("dp", "sp", None, None),
+        check_vma=False,
+    )(geometry, state, vis, gbuffer, shadow_maps)
+    return out[:, : config.height, : config.width]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _render_frames_sharded_mono(
+    geometry: GeometryStatic,
+    params_batch: FrameParams,
+    config: RenderConfig,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """One-program formulation (pre-r5; vma-checkable; measured 1.9x slower
+    than the split at sp=1 — module docstring)."""
+    sp = mesh.shape["sp"]
+    rows = _local_rows(config, sp)
 
     def shard_fn(geometry, params_local):
         # params_local: leading dim B/dp; render each frame's local row block
-        row0 = jax.lax.axis_index("sp") * local_rows
+        row0 = jax.lax.axis_index("sp") * rows
 
         def one_frame(params):
-            # rows shard over sp; shadow lights also partition over sp and
-            # rejoin via all_gather (light parallelism over ICI)
+            # rows shard over sp; shadow lights + triangle setup also
+            # partition over sp and rejoin via all_gather
             return render_frame_rows(
-                geometry, params, config, row0, local_rows,
+                geometry, params, config, row0, rows,
                 shadow_shard_axis="sp",
             )
 
@@ -108,6 +225,28 @@ def render_frames_sharded(
     )
     out = fn(geometry, params_batch)  # (B, h_pad, w_pad, 3)
     return out[:, : config.height, : config.width]
+
+
+def render_frames_sharded(
+    geometry: GeometryStatic,
+    params_batch: FrameParams,  # leaves have leading batch dim B (B % dp == 0)
+    config: RenderConfig,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Render a batch of frames over the (dp, sp) mesh.
+
+    Returns (B, height, width, 3). Rows are sharded over ``sp`` during
+    rendering; XLA inserts the gather implied by the output sharding.
+    Two chained device programs (geometry, then lighting+sky) exactly like
+    the single-chip path — the host enqueues both without syncing."""
+    if not SHARDED_SPLIT_PROGRAMS:
+        return _render_frames_sharded_mono(geometry, params_batch, config, mesh)
+    state, vis, gbuffer, shadow_maps = _sharded_geometry(
+        geometry, params_batch, config, mesh
+    )
+    return _sharded_finish(
+        geometry, state, vis, gbuffer, shadow_maps, config, mesh
+    )
 
 
 def replicate_to_mesh(tree, mesh: Mesh):

@@ -735,7 +735,10 @@ def _geometry_body(
         from syzygy_tpu.kernels.resolve import build_resolve_records
 
         records = build_resolve_records(
-            setup, geometry, world, world_normals
+            setup, geometry, world, world_normals,
+            shard_axis=(
+                shadow_shard_axis if config.shard_triangle_setup else None
+            ),
         )
         return state, vis, records, shadow_maps
     gbuffer = resolve_gbuffer(vis, setup, geometry, world, world_normals)

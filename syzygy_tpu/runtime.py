@@ -33,10 +33,10 @@ def fetch_frame_u8(image):
     Matches the host-side ``(clip(x,0,1)*255+0.5).astype(u8)``: bitwise on
     CPU (float->int conversion truncates toward zero in both XLA and numpy,
     and the pre-truncation arithmetic is the same IEEE f32 expression —
-    tests/test_runtime.py pins edge values). On the TPU backend XLA may
-    fma-contract ``x*255+0.5``, which can differ from numpy's two-rounding
-    result by 1 ulp and flip a u8 LSB exactly at half boundaries — ±1 LSB
-    worst case, invisible in presentation. Either way the
+    tests/test_runtime.py pins edge values) — and VERIFIED bitwise on the
+    real TPU backend too (tools/r5_session.py probe_u8_edges: 0 mismatches
+    over 2033 half-boundary/ulp-adjacent/exact-level values; the feared
+    fma contraction of ``x*255+0.5`` does not occur there). Either way the
     D2H transfer moves 1 byte per channel instead of 4 — through the
     ~15 MB/s tunnel that is the difference between ~100 ms and ~26 ms for a
     512x256 viewer frame, and it is the swapchain-format analog: the

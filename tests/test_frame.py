@@ -143,7 +143,13 @@ def test_sharded_vma_checked(frame_setup):
     match_vma'd. The one JAX gap is the listed raster's scalar-prefetch
     index_map (ref-get discharge is not vma-aware), so this traces with
     tile_list_capacity=0; a spec/vma error anywhere else in the frame
-    graph fails HERE, at trace time, instead of at runtime on devices."""
+    graph fails HERE, at trace time, instead of at runtime on devices.
+
+    Uses the ONE-program formulation: the production split path's stage
+    boundary declares state/records/shadow maps sp-replicated, which is
+    true (they derive from replicated params or all_gathers) but not
+    provable to the vma checker (all_gather outputs stay sp-varying to
+    it) — the per-device math being checked is identical either way."""
     scene, geometry, _, _ = frame_setup
     import syzygy_tpu.parallel.sharding as sharding_mod
     from syzygy_tpu.parallel import batch_params, make_mesh, render_frames_sharded
@@ -156,7 +162,9 @@ def test_sharded_vma_checked(frame_setup):
     )
     params = pack_frame_params(scene, 1920 / 1080)
     old = sharding_mod.CHECK_VMA
+    old_split = sharding_mod.SHARDED_SPLIT_PROGRAMS
     sharding_mod.CHECK_VMA = True
+    sharding_mod.SHARDED_SPLIT_PROGRAMS = False
     try:
         for dp, sp in [(1, 2), (1, 8), (2, 4)]:
             mesh = make_mesh(dp=dp, sp=sp)
@@ -169,6 +177,7 @@ def test_sharded_vma_checked(frame_setup):
             assert out.shape == (dp, 1080, 1920, 3), (dp, sp, out.shape)
     finally:
         sharding_mod.CHECK_VMA = old
+        sharding_mod.SHARDED_SPLIT_PROGRAMS = old_split
 
 
 def test_sharded_1080p_spec_traces(frame_setup):
