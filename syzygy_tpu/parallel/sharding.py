@@ -17,15 +17,21 @@ Atmosphere LUTs are recomputed per device rather than sharded and gathered —
 they are small next to the per-pixel work (~3 ms), and recompute avoids an
 ICI round-trip on the frame critical path.
 
-Program partitioning (measured, tools/r5_session.py): the frame runs as TWO
-chained shard_map programs — geometry (vertex/shadow/raster/records) then
-lighting+sky — matching the single-chip chaining. The earlier ONE-program
-formulation measured 228 vs 119 ms/frame at (dp=1, sp=1) on the real chip
-(a 1.9x mono-program penalty, the same platform pathology as landmine 9's
-pathological fully-fused compiles); ``SHARDED_SPLIT_PROGRAMS=False``
-selects it (kept for A/B and for the vma-checked CI trace, which cannot
-express the split path's replicated-boundary out_specs — all_gather
-results are conservatively sp-varying to the vma checker).
+Measured overhead (tools/r5{,b,c}_session.py, one day): the sharded path at
+(dp=1, sp=1) runs **120.9 vs 118.9 ms/frame** staged single-chip — ~2 ms of
+shard_map boundary cost, ~1.4 ms of which is the sp=1 identity setup/records
+all_gathers that buy real O(T) sharding at sp >= 2. Two early pitfalls are
+permanently encoded here: (1) NEVER vmap the per-device frame batch — it
+cost 1.9x on the default scene and 15.6x on the dense field (batched
+lax.cond runs both branches; batch dims wreck hot gather layouts) — see
+:func:`_map_frames`; (2) the frame runs as TWO chained shard_map programs
+(geometry, then lighting+sky) matching the single-chip chaining — measured
+equal in rate to the one-program form once vmap was gone, but it compiles
+~2x faster and keeps the single-chip program structure. The one-program
+formulation stays under ``SHARDED_SPLIT_PROGRAMS=False`` for the
+vma-checked CI trace, which cannot express the split path's
+replicated-boundary out_specs (all_gather results are conservatively
+sp-varying to the vma checker).
 """
 
 from __future__ import annotations
@@ -57,8 +63,9 @@ from syzygy_tpu.scene.pack import FrameParams, GeometryStatic
 # derive from all_gather, whose output the checker keeps sp-varying).
 CHECK_VMA = False
 
-# Two chained programs (production, measured faster) vs one fused program
-# (vma-checkable; 1.9x slower at sp=1 — see module docstring).
+# Two chained programs (production: matches single-chip partitioning,
+# compiles ~2x faster) vs one fused program (vma-checkable; same measured
+# rate — see module docstring).
 SHARDED_SPLIT_PROGRAMS = True
 
 
@@ -70,6 +77,25 @@ def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
     import numpy as np
 
     return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
+
+
+def _map_frames(one, args_tree):
+    """Apply ``one`` over the leading frame-batch axis WITHOUT vmap.
+
+    vmap is the wrong tool for the per-device frame batch (measured,
+    tools/r5b_session.py sp=1): a batched ``lax.cond`` predicate lowers to
+    select-and-execute-BOTH-branches, so the listed raster's lossless
+    overflow fallback ran the catastrophic full-iteration raster on every
+    dense frame (3531 vs 227 ms — the landmine-14 pathology), and the
+    batch dim on every hot per-pixel tensor perturbs gather layouts
+    (landmine 15 class). B == 1 (the common case: dp shards frames)
+    calls straight through; B > 1 uses ``lax.map`` — a scan whose body
+    stays UNBATCHED, keeping conds structural and layouts flat."""
+    b = jax.tree.leaves(args_tree)[0].shape[0]
+    if b == 1:
+        out = one(jax.tree.map(lambda x: x[0], args_tree))
+        return jax.tree.map(lambda x: x[None], out)
+    return jax.lax.map(one, args_tree)
 
 
 def _local_rows(config: RenderConfig, sp: int) -> int:
@@ -113,7 +139,7 @@ def _sharded_geometry(
                 shadow_shard_axis="sp",
             )
 
-        return jax.vmap(one)(params_local)
+        return _map_frames(one, params_local)
 
     defers = _defers_resolve(config, geometry)
     out_specs = (
@@ -151,7 +177,8 @@ def _sharded_finish(
     def fn(geometry, state_l, vis_l, gb_l, maps_l):
         row0 = jax.lax.axis_index("sp") * rows
 
-        def one(state1, vis1, gb1, maps1):
+        def one(args):
+            state1, vis1, gb1, maps1 = args
             if defers:
                 return _stage_lighting_sky.__wrapped__(
                     state1, vis1.depth, None, maps1, config, row0,
@@ -161,7 +188,7 @@ def _sharded_finish(
                 state1, vis1.depth, gb1, maps1, config, row0
             )
 
-        return jax.vmap(one)(state_l, vis_l, gb_l, maps_l)
+        return _map_frames(one, (state_l, vis_l, gb_l, maps_l))
 
     out = jax.shard_map(
         fn,
@@ -203,7 +230,7 @@ def _render_frames_sharded_mono(
                 shadow_shard_axis="sp",
             )
 
-        return jax.vmap(one_frame)(params_local)
+        return _map_frames(one_frame, params_local)
 
     fn = jax.shard_map(
         shard_fn,
