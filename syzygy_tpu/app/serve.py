@@ -383,6 +383,54 @@ class _State:
                 self.scene.tick(dt)
             self._dirty = True
 
+    def set_config(self, name: str, value):
+        """Live RenderConfig editing — the reflection-driven pipeline
+        push-constant editor (``ui/pipelineui.cpp:43-424``: the reference
+        edits shader push constants through reflected member types; our
+        pipeline parameters are the RenderConfig dataclass fields).
+        Changing one swaps in a new static config: the next frame
+        recompiles (amortized across sessions by the persistent
+        compilation cache) with identical semantics otherwise."""
+        import dataclasses
+
+        from syzygy_tpu.app.properties import parse_value
+
+        fields = {f.name: f for f in dataclasses.fields(type(self.config))}
+        if name not in fields:
+            raise KeyError(f"no RenderConfig field {name!r}")
+        fld = fields[name]
+        if isinstance(value, str) and value.strip() == "default":
+            value = fld.default
+        else:
+            if isinstance(value, str):
+                value = parse_value(value)
+            want = type(fld.default)
+            if want is bool:
+                if isinstance(value, str):  # "False"/"off" must not be truthy
+                    value = value.strip().lower() in ("1", "true", "on", "yes")
+                value = bool(value)
+            elif want is int:
+                value = int(value)
+            elif want is float:
+                value = float(value)
+            elif want is str:
+                value = str(value)
+        with self.lock:
+            new = dataclasses.replace(self.config, **{name: value})
+            # surface invalid combinations NOW (e.g. sky_row_chunks that
+            # doesn't divide the height) instead of at render time
+            from syzygy_tpu.renderer.frame import _sky_chunks
+
+            if new.render_atmosphere:
+                _sky_chunks(
+                    new.padded_height, new.padded_width, new.sky_row_chunks
+                )
+            self.config = new
+            self.aspect = new.width / new.height
+            self._pending = None
+            self._dirty = True
+            return getattr(self.config, name)
+
     def set_property(self, path: str, value):
         from syzygy_tpu.app.properties import (
             canonical_path,
@@ -394,6 +442,8 @@ class _State:
         from syzygy_tpu.runtime import place_on_accelerator
         from syzygy_tpu.scene import pack_geometry
 
+        if path.startswith("config."):
+            return self.set_config(path[len("config."):], value)
         with self.lock:
             path = canonical_path(self.scene, path)
             if isinstance(value, str) and value.strip() == "default":
@@ -517,10 +567,12 @@ class _State:
             return loaded
 
     def properties(self):
+        import dataclasses
+
         from syzygy_tpu.app.properties import _fmt, discover
 
         with self.lock:
-            return [
+            rows = [
                 {
                     "path": p.path,
                     "value": _fmt(p.value),
@@ -528,6 +580,17 @@ class _State:
                 }
                 for p in discover(self.scene)
             ]
+            # pipeline parameters (pipelineui.cpp analog): every
+            # RenderConfig field, reflected from the dataclass
+            rows += [
+                {
+                    "path": f"config.{f.name}",
+                    "value": _fmt(getattr(self.config, f.name)),
+                    "default": _fmt(f.default),
+                }
+                for f in dataclasses.fields(type(self.config))
+            ]
+            return rows
 
 
 def serve(scene, library, config, port=8731, mipmaps=False, frames=0):

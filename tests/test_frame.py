@@ -465,3 +465,51 @@ def test_resolve_in_sky_chunks_matches():
     )
     d = np.abs(a - b)
     assert d.max() <= 2e-5, (d.max(), (d > 0).mean())
+
+
+def test_sharded_non_records_configs_match_single_chip(frame_setup):
+    """The split sharded path's OTHER stage boundary: when the resolve
+    cannot defer (no atmosphere, or mipmapped geometry), the row-sharded
+    G-BUFFER crosses the program boundary instead of the replicated
+    records table — both configurations must match the staged path."""
+    import dataclasses
+
+    scene, geometry, params, config = frame_setup
+    from syzygy_tpu.parallel import (
+        batch_params,
+        make_mesh,
+        render_frames_sharded,
+        replicate_to_mesh,
+    )
+    from syzygy_tpu.scene import default_scene as _ds
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = make_mesh(dp=1, sp=2)
+
+    # no-atmosphere: lit-only output
+    cfg = dataclasses.replace(config, render_atmosphere=False)
+    params2 = params._replace(directional_skip_count=np.int32(0))
+    out = np.asarray(
+        render_frames_sharded(
+            replicate_to_mesh(geometry, mesh),
+            batch_params([params2]), cfg, mesh,
+        )
+    )
+    single = np.asarray(render_frame(geometry, params2, cfg))
+    assert out.shape == (1, H, W, 3)
+    np.testing.assert_allclose(out[0], single, atol=1e-2)
+
+    # mipmapped geometry: the mip resolve's cross-pixel LOD derivatives
+    # keep the resolve in the geometry stage (records never built)
+    scene2, library2 = _ds()
+    geo_mips = pack_geometry(scene2, library2, mipmaps=True)
+    assert geo_mips.tex_rects_mips is not None
+    out = np.asarray(
+        render_frames_sharded(
+            replicate_to_mesh(geo_mips, mesh),
+            batch_params([params]), config, mesh,
+        )
+    )
+    single = np.asarray(render_frame(geo_mips, params, config))
+    np.testing.assert_allclose(out[0], single, atol=1e-2)

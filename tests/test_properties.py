@@ -374,3 +374,46 @@ def test_ring_buffer_history_order():
     assert len(hist) == RingBuffer.CAPACITY
     assert hist[0] == 10.0 and hist[-1] == float(RingBuffer.CAPACITY + 9)
     assert hist == sorted(hist)
+
+
+def test_serve_pipeline_config_editing():
+    """Live RenderConfig editing through the viewer property table — the
+    reflection-driven pipeline push-constant editor analog
+    (ui/pipelineui.cpp:43-424). Fields come from dataclass reflection,
+    coerce to the field's type, reset to the dataclass default, and an
+    invalid combination surfaces as an error instead of a broken frame."""
+    import pytest
+
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    scene, library = default_scene()
+    state = _State(
+        scene, library,
+        RenderConfig(width=64, height=32, shadow_dim=128,
+                     skyview_width=64, skyview_height=16),
+    )
+    props = {p["path"]: p for p in state.properties()}
+    assert props["config.oetf"]["value"] == "srgb"
+    assert props["config.pcf_f16"]["value"] == "True"
+    assert props["config.shadow_dim"]["value"] == "128"
+
+    png_srgb = state.render_png()
+    assert state.set_property("config.oetf", "gamma") == "gamma"
+    png_gamma = state.render_png()
+    assert png_gamma != png_srgb  # different transfer function renders
+
+    # reset-to-default goes back to the DATACLASS default
+    assert state.set_property("config.oetf", "default") == "srgb"
+
+    # type coercion: bool strings are parsed, not truthy-string'd
+    assert state.set_property("config.pcf_f16", "False") is False
+    assert state.set_property("config.pcf_f16", "true") is True
+    assert state.set_property("config.shadow_dim", "256") == 256
+
+    with pytest.raises(KeyError):
+        state.set_config("no_such_field", "1")
+    # invalid combination surfaces immediately (row chunks must divide)
+    with pytest.raises(ValueError):
+        state.set_config("sky_row_chunks", "7")
