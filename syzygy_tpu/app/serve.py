@@ -417,6 +417,17 @@ class _State:
                 value = str(value)
         with self.lock:
             new = dataclasses.replace(self.config, **{name: value})
+            # Validate FULLY before installing: a bad value must leave the
+            # running config untouched (previously height=0 was assigned
+            # before the aspect division raised, bricking every later
+            # frame until a manual reset).
+            for dim in (
+                "width", "height", "shadow_dim", "supersample",
+                "skyview_width", "skyview_height",
+                "transmittance_width", "transmittance_height",
+            ):
+                if getattr(new, dim) <= 0:
+                    raise ValueError(f"{dim} must be positive")
             # surface invalid combinations NOW (e.g. sky_row_chunks that
             # doesn't divide the height) instead of at render time
             from syzygy_tpu.renderer.frame import _sky_chunks
@@ -425,8 +436,9 @@ class _State:
                 _sky_chunks(
                     new.padded_height, new.padded_width, new.sky_row_chunks
                 )
+            aspect = new.width / new.height
             self.config = new
-            self.aspect = new.width / new.height
+            self.aspect = aspect
             self._pending = None
             self._dirty = True
             return getattr(self.config, name)
@@ -544,7 +556,9 @@ class _State:
                     Image.open(path).convert("RGBA"), np.uint8
                 )
                 name = os.path.basename(path)
-                self.library.register(name, img, srgb=srgb)
+                # replace=True: reloading the same name re-reads the file
+                # (texels + sRGB flag), like the reference's dialog
+                self.library.register(name, img, srgb=srgb, replace=True)
                 loaded = {"texture": name, "srgb": srgb}
             # metallic_reflection is a static scene property (bitwise skip
             # when provably unused) — recompute for the new content
@@ -641,7 +655,28 @@ def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
             else:
                 self._send(404, b"not found", "text/plain")
 
+        def _origin_ok(self):
+            """Reject cross-site POSTs: /api/load reaches the local
+            filesystem and /api/set mutates the session, and a browser
+            sends same-looking 'simple' fetch() POSTs cross-origin without
+            preflight — so require a localhost Host (DNS-rebinding guard)
+            and, when the browser attaches an Origin, a localhost one."""
+            from urllib.parse import urlparse
+
+            host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+            if host not in ("127.0.0.1", "localhost", "[::1]"):
+                return False
+            origin = self.headers.get("Origin")
+            if origin:
+                oh = urlparse(origin).hostname
+                if oh not in ("127.0.0.1", "localhost", "::1"):
+                    return False
+            return True
+
         def do_POST(self):
+            if not self._origin_ok():
+                self._send(403, b'{"error": "cross-origin request"}')
+                return
             length = int(self.headers.get("Content-Length", 0))
             try:
                 body = json.loads(self.rfile.read(length) or b"{}")

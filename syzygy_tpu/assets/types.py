@@ -108,14 +108,20 @@ class TextureLibrary:
         self._srgb: list[bool] = []
 
     def register(
-        self, name: str, rgba: np.ndarray, srgb: bool = False
+        self, name: str, rgba: np.ndarray, srgb: bool = False,
+        replace: bool = False,
     ) -> int:
         """Add a texture; uint8 input is normalized, sRGB decoded if flagged.
 
         Mirrors the color/UNORM format split at ``assets.cpp:701-711`` (color
         maps are sRGB; normal/ORM maps are linear UNORM).
+
+        An already-registered ``name`` returns its existing index untouched
+        unless ``replace=True``, which re-decodes in place (same index, new
+        texels + sRGB flag) — the runtime reload path: the reference's
+        loadImageDialog re-reads the file every time.
         """
-        if name in self._names:
+        if name in self._names and not replace:
             return self._names[name]
         img = np.asarray(rgba)
         if img.dtype == np.uint8:
@@ -133,6 +139,11 @@ class TextureLibrary:
             img = _resize_bilinear(
                 img, max(int(round(h * s)), 1), max(int(round(w * s)), 1)
             )
+        if name in self._names:  # replace=True reload: same index
+            idx = self._names[name]
+            self._textures[idx] = np.ascontiguousarray(img, np.float32)
+            self._srgb[idx] = srgb
+            return idx
         idx = len(self._textures)
         self._textures.append(np.ascontiguousarray(img, np.float32))
         self._names[name] = idx

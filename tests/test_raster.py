@@ -326,3 +326,78 @@ def test_vector_chunk_equivalence():
     lb, dropped_b = rasterize_listed(setup, W, H, capacity=16, vector=True)
     assert int(dropped_a) == int(dropped_b) == 0
     check(la, lb, "listed")
+
+
+def test_setup_and_records_sharded_bitwise():
+    """setup_triangles(shard_axis=) and build_resolve_records(shard_axis=)
+    claim BITWISE equality with the replicated builds (slot order
+    preserved — raster depth-tie order depends on it). Pin every TriSetup
+    field and the records table exactly under a CPU shard_map at sp=2 and
+    sp=4 (same grid origin on every device, so all copies must equal the
+    unsharded result)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from syzygy_tpu.kernels.resolve import (
+        build_resolve_records,
+        transform_normals,
+        transform_positions,
+    )
+    from syzygy_tpu.scene import (
+        default_scene,
+        pack_frame_params,
+        pack_geometry,
+    )
+    from syzygy_tpu.scene.pack import prepare_frame_state
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    scene, library = default_scene()
+    scene.tick(0.0)
+    geometry = pack_geometry(scene, library)
+    state = prepare_frame_state(pack_frame_params(scene, 2.0))
+    proj_view = state.camera.projection @ state.camera.view
+    clip, world = transform_positions(
+        geometry.positions, geometry.vert_instance, state.models, proj_view
+    )
+    normals = transform_normals(
+        geometry.normals, geometry.vert_instance, state.model_inv_transpose
+    )
+
+    def build(shard_axis=None):
+        setup = setup_triangles(
+            clip,
+            geometry.triangles,
+            geometry.tri_valid,
+            256,
+            128,
+            cull_keep_sign=+1,
+            shard_axis=shard_axis,
+        )
+        records = build_resolve_records(
+            setup, geometry, world, normals, shard_axis=shard_axis
+        )
+        return (*setup, records)
+
+    ref = [np.asarray(x) for x in build()]
+
+    for sp in (2, 4):
+        mesh = Mesh(np.asarray(jax.devices()[:sp]).reshape(sp), ("sp",))
+        out = jax.shard_map(
+            lambda: build(shard_axis="sp"),
+            mesh=mesh,
+            in_specs=(),
+            out_specs=P(),
+            check_vma=False,
+        )()
+        for name, r, o in zip(
+            ("coeffs", "orig_tri", "corner_bary", "corner_w", "chunk_mask",
+             "records"),
+            ref,
+            out,
+        ):
+            np.testing.assert_array_equal(
+                r, np.asarray(o), err_msg=f"sp={sp} {name}"
+            )

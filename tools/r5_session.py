@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CACHE_DIR = "/root/repo/.jax_cache"
+# probe-local scratch cache (NOT the package default ~/.cache/syzygy_tpu —
+# the probe rmtree's this dir to get a cold leg, so keep it out of the repo
+# and away from any real cache)
+CACHE_DIR = "/tmp/szg_cache_probe"
 
 
 def _enable_cache():
@@ -156,49 +159,15 @@ def probe_shadow_maps() -> dict:
 
 
 def _perturb(params, s):
-    import jax.numpy as jnp
+    from measure import perturb_params
 
-    return params._replace(
-        cam_position=params.cam_position + jnp.minimum(s * 1e-30, 0.0)
-    )
+    return perturb_params(params, s)
 
 
 def _measure_chained(frame_scalar_fn, n=24, group=8, label=""):
-    """Median ms/iter: chained groups, each forced by one 4-byte fetch
-    (bench.py method; full-sum tails inside frame_scalar_fn per
-    landmine 13)."""
-    import jax
-    import jax.numpy as jnp
+    from measure import measure_chained
 
-    def fetch(x):
-        return float(np.asarray(jax.device_get(x)).reshape(-1)[0])
-
-    t0 = time.perf_counter()
-    v = fetch(frame_scalar_fn(jnp.zeros((), jnp.float32)))
-    print(f"  {label}: compile+first force {time.perf_counter()-t0:.1f} s",
-          flush=True)
-    assert np.isfinite(v)
-    # discard pass (lazy executable upload / warm-up)
-    v = fetch(frame_scalar_fn(jnp.zeros((), jnp.float32)))
-
-    small = jax.jit(lambda x: x + 1)(jnp.zeros(()))
-    jax.block_until_ready(small)
-    t0 = time.perf_counter()
-    fetch(small)
-    fetch_s = time.perf_counter() - t0
-
-    times = []
-    prev = jnp.zeros((), jnp.float32)
-    for g0 in range(0, n, group):
-        m = min(group, n - g0)
-        t0 = time.perf_counter()
-        for _ in range(m):
-            prev = frame_scalar_fn(prev)
-        fetch(prev)
-        times.append((time.perf_counter() - t0 - fetch_s) / m)
-    ms = float(np.median(times)) * 1000.0
-    print(f"  {label}: {ms:.2f} ms/frame", flush=True)
-    return ms
+    return measure_chained(frame_scalar_fn, n=n, group=group, label=label)
 
 
 def probe_sp1() -> dict:

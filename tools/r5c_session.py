@@ -29,37 +29,9 @@ import numpy as np
 
 
 def _measure_chained(frame_scalar_fn, n=24, group=8, label=""):
-    import jax
-    import jax.numpy as jnp
+    from measure import measure_chained
 
-    def fetch(x):
-        return float(np.asarray(jax.device_get(x)).reshape(-1)[0])
-
-    t0 = time.perf_counter()
-    v = fetch(frame_scalar_fn(jnp.zeros((), jnp.float32)))
-    print(f"  {label}: compile+first force {time.perf_counter()-t0:.1f} s",
-          flush=True)
-    assert np.isfinite(v)
-    v = fetch(frame_scalar_fn(jnp.zeros((), jnp.float32)))  # discard pass
-
-    small = jax.jit(lambda x: x + 1)(jnp.zeros(()))
-    jax.block_until_ready(small)
-    t0 = time.perf_counter()
-    fetch(small)
-    fetch_s = time.perf_counter() - t0
-
-    times = []
-    prev = jnp.zeros((), jnp.float32)
-    for g0 in range(0, n, group):
-        m = min(group, n - g0)
-        t0 = time.perf_counter()
-        for _ in range(m):
-            prev = frame_scalar_fn(prev)
-        fetch(prev)
-        times.append((time.perf_counter() - t0 - fetch_s) / m)
-    ms = float(np.median(times)) * 1000.0
-    print(f"  {label}: {ms:.2f} ms/frame", flush=True)
-    return ms
+    return measure_chained(frame_scalar_fn, n=n, group=group, label=label)
 
 
 def main() -> None:
