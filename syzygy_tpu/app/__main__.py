@@ -122,6 +122,10 @@ def main() -> None:
     parser.add_argument("--serve-frames", type=int, default=0,
                         help="stop --serve after N rendered frames "
                         "(0 = run until interrupted; used by tests)")
+    parser.add_argument("--preview-scale", type=int, default=2,
+                        help="--serve: render 1/N-resolution frames while "
+                        "input is live, refine to exact full res at rest "
+                        "(1 disables)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -256,6 +260,7 @@ def main() -> None:
             port=args.port,
             mipmaps=args.mipmaps,
             frames=args.serve_frames,
+            preview_scale=args.preview_scale,
         )
         return
     geometry_host = pack_geometry(scene, library, mipmaps=args.mipmaps)

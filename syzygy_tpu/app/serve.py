@@ -89,6 +89,12 @@ function refresh() {
   busy = true; status.textContent = 'rendering...';
   const img = new Image();
   img.onload = async () => { frame.src = img.src; busy = false;
+    // lock the display box to the first (full-res) frame so preview
+    // frames upscale into the same box instead of shrinking the img
+    requestAnimationFrame(() => {
+      if (!frame.style.width && frame.clientWidth)
+        frame.style.width = frame.clientWidth + 'px';
+    });
     status.textContent = 'ready';
     try {  // performance window analog: frame ms + FPS ring report
       const s = await (await fetch('/api/stats')).json();
@@ -243,7 +249,10 @@ class _State:
         mipmaps=False,
         dt=1.0 / 60.0,
         pipeline=False,
+        preview_scale=1,
     ):
+        import dataclasses
+
         from syzygy_tpu.runtime import place_on_accelerator
         from syzygy_tpu.scene import pack_geometry
 
@@ -268,6 +277,45 @@ class _State:
         # pipeline_pending so the page can drain when input stops.
         self.pipeline = pipeline
         self._pending = None
+        # Progressive preview (resolution-scaling analog, presentation
+        # only): while input keeps the scene dirty, frames render at
+        # 1/preview_scale resolution (~1/s^2 of the per-pixel work and
+        # fetch bytes); when input stops, one full-resolution frame
+        # renders and replaces the preview — the resting image is the
+        # EXACT full config's frame. 1 disables. Both programs compile
+        # once (persistent cache).
+        self.preview_scale = max(1, int(preview_scale))
+        self._preview_config = None
+        self._needs_full = False
+        self._rebuild_preview()
+
+    def _rebuild_preview(self):
+        """(Re)derive the preview config from the current full config —
+        must re-run whenever self.config changes (set_config)."""
+        import dataclasses
+
+        if self.preview_scale > 1:
+            self._preview_config = dataclasses.replace(
+                self.config,
+                width=max(64, self.config.width // self.preview_scale),
+                height=max(32, self.config.height // self.preview_scale),
+            )
+
+    def _dispatch(self, cfg):
+        """Async-dispatch one frame of the current scene at ``cfg``."""
+        from syzygy_tpu.renderer import render_frame_packed
+        from syzygy_tpu.scene import (
+            flatten_frame_params,
+            frame_param_spec,
+            pack_frame_params,
+        )
+
+        params = pack_frame_params(self.scene, self.aspect)
+        spec = frame_param_spec(params)
+        flat = flatten_frame_params(
+            params, spec, np.empty(spec.total, np.float32)
+        )
+        return render_frame_packed(self.geometry, flat, spec, cfg)
 
     def render_png(self) -> bytes:
         import time
@@ -282,6 +330,7 @@ class _State:
         with self.lock:
             if (
                 not self._dirty
+                and not self._needs_full
                 and self._frame_png is not None
                 and self._pending is None
             ):
@@ -293,16 +342,24 @@ class _State:
             if self._dirty or (
                 self._frame_png is None and self._pending is None
             ):
-                params = pack_frame_params(self.scene, self.aspect)
-                spec = frame_param_spec(params)
-                flat = flatten_frame_params(
-                    params, spec, np.empty(spec.total, np.float32)
+                # interactive update: render at preview resolution while
+                # input is live (never for the very first frame, so the
+                # page sizes itself from a full-res frame)
+                preview = (
+                    self._preview_config is not None
+                    and self._dirty
+                    and self._frame_png is not None
                 )
                 # async dispatch: returns before the device finishes
-                fut = render_frame_packed(
-                    self.geometry, flat, spec, self.config
+                fut = self._dispatch(
+                    self._preview_config if preview else self.config
                 )
                 self._dirty = False
+                self._needs_full = preview
+            elif self._needs_full and self._pending is None:
+                # input stopped: refine — one exact full-resolution frame
+                fut = self._dispatch(self.config)
+                self._needs_full = False
             if self._pending is not None:
                 # fetch the frame dispatched on the PREVIOUS request (it
                 # computed while the host encoded/served that response)
@@ -367,9 +424,10 @@ class _State:
                     [] if self._fps is None else self._fps.history()
                 ),
                 "draw_results": draw,
-                # a dispatched frame is still in flight; one more
+                # a dispatched frame is still in flight (or a full-res
+                # refinement is owed after preview frames); one more
                 # /frame.png request drains it (page auto-refreshes)
-                "pending": self._pending is not None,
+                "pending": self._pending is not None or self._needs_full,
             }
 
     def handle_input(self, keys: str, cursor, dt: float):
@@ -439,6 +497,7 @@ class _State:
             aspect = new.width / new.height
             self.config = new
             self.aspect = aspect
+            self._rebuild_preview()
             self._pending = None
             self._dirty = True
             return getattr(self.config, name)
@@ -572,6 +631,7 @@ class _State:
                     self.scene, self.library
                 ),
             )
+            self._rebuild_preview()
             self._geometry_host = pack_geometry(
                 self.scene, self.library, mipmaps=self.mipmaps
             )
@@ -607,10 +667,20 @@ class _State:
             return rows
 
 
-def serve(scene, library, config, port=8731, mipmaps=False, frames=0):
+def serve(
+    scene, library, config, port=8731, mipmaps=False, frames=0,
+    preview_scale=2,
+):
     """Run the interactive viewer until interrupted (or after ``frames``
-    rendered frames when > 0 — used by the smoke test)."""
-    state = _State(scene, library, config, mipmaps=mipmaps, pipeline=True)
+    rendered frames when > 0 — used by the smoke test).
+
+    ``preview_scale``: while input is live, frames render at
+    1/preview_scale resolution and refine to the exact full-resolution
+    frame when input stops (1 disables)."""
+    state = _State(
+        scene, library, config, mipmaps=mipmaps, pipeline=True,
+        preview_scale=preview_scale,
+    )
     rendered = [0]
 
     class Handler(BaseHTTPRequestHandler):

@@ -417,3 +417,61 @@ def test_serve_pipeline_config_editing():
     # invalid combination surfaces immediately (row chunks must divide)
     with pytest.raises(ValueError):
         state.set_config("sky_row_chunks", "7")
+
+
+def test_serve_preview_refinement():
+    """Progressive preview (resolution-scaling presentation): while input
+    keeps the scene dirty frames render at 1/preview_scale resolution;
+    when input stops the viewer refines to the EXACT full-resolution
+    frame (identical bytes to a preview-disabled state)."""
+    import io
+
+    from PIL import Image
+
+    from syzygy_tpu.app.serve import _State
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    cfg = RenderConfig(
+        width=128, height=64, shadow_dim=128,
+        skyview_width=64, skyview_height=16,
+    )
+
+    def dims(png):
+        return Image.open(io.BytesIO(png)).size
+
+    scene, library = default_scene()
+    state = _State(scene, library, cfg, preview_scale=2)
+    png1 = state.render_png()
+    assert dims(png1) == (128, 64)  # first frame is always full-res
+
+    state.handle_input("w", (0.0, 0.0), 0.25)
+    png2 = state.render_png()
+    assert dims(png2) == (64, 32)  # live input renders the preview
+    assert state.stats()["pending"]  # refinement owed
+
+    png3 = state.render_png()
+    assert dims(png3) == (128, 64)  # input stopped: exact full-res
+    assert not state.stats()["pending"]
+    assert state.render_png() is png3  # at rest: cached
+
+    # the resting frame is EXACTLY what a preview-disabled viewer shows
+    scene2, library2 = default_scene()
+    ref = _State(scene2, library2, cfg, preview_scale=1)
+    ref.render_png()
+    ref.handle_input("w", (0.0, 0.0), 0.25)
+    assert ref.render_png() == png3
+
+    # pipelined variant drains through preview to the same full frame
+    scene3, library3 = default_scene()
+    pstate = _State(scene3, library3, cfg, preview_scale=2, pipeline=True)
+    pstate.render_png()
+    pstate.handle_input("w", (0.0, 0.0), 0.25)
+    last = pstate.render_png()
+    for _ in range(6):
+        if not pstate.stats()["pending"]:
+            break
+        last = pstate.render_png()
+    assert not pstate.stats()["pending"]
+    assert dims(last) == (128, 64)
+    assert last == png3
