@@ -475,3 +475,106 @@ def test_serve_preview_refinement():
     assert not pstate.stats()["pending"]
     assert dims(last) == (128, 64)
     assert last == png3
+
+
+def test_serve_http_layer():
+    """The HTTP handler itself (routing, JSON shimming, the cross-origin
+    guard) over a real socket — endpoints chosen to avoid paying a frame
+    render: /, /api/properties, /api/textures, /texture.png 404, bad
+    JSON 400, unknown route 404, and the CSRF/DNS-rebinding rejections."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from syzygy_tpu.app import serve as serve_mod
+    from syzygy_tpu.renderer import RenderConfig
+    from syzygy_tpu.scene import default_scene
+
+    scene, library = default_scene()
+    cfg = RenderConfig(width=64, height=32, shadow_dim=128,
+                       skyview_width=64, skyview_height=16)
+
+    # serve() blocks, so run it on a daemon thread against an ephemeral
+    # port and only hit endpoints that never render a frame
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    t = threading.Thread(
+        target=serve_mod.serve,
+        args=(scene, library, cfg),
+        kwargs={"port": port},
+        daemon=True,
+    )
+    t.start()
+
+    base = f"http://127.0.0.1:{port}"
+
+    def wait_up(tries=50):
+        for _ in range(tries):
+            try:
+                return urllib.request.urlopen(base + "/", timeout=2)
+            except Exception:
+                import time
+
+                time.sleep(0.1)
+        raise RuntimeError("server did not come up")
+
+    page = wait_up().read()
+    assert b"syzygy_tpu" in page and b"drawSpark" in page
+
+    props = json.loads(
+        urllib.request.urlopen(base + "/api/properties", timeout=10).read()
+    )
+    assert any(p["path"].startswith("config.") for p in props)
+
+    texs = json.loads(
+        urllib.request.urlopen(base + "/api/textures", timeout=10).read()
+    )
+    assert texs and all("name" in t for t in texs)
+
+    # 404s
+    for path in ("/texture.png?name=nope", "/no-such-route"):
+        try:
+            urllib.request.urlopen(base + path, timeout=10)
+            assert False, f"{path} should 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404, (path, e.code)
+
+    def post(path, data, headers=None):
+        req = urllib.request.Request(
+            base + path, data=data, headers=headers or {}, method="POST"
+        )
+        return urllib.request.urlopen(req, timeout=10)
+
+    # bad JSON -> 400
+    try:
+        post("/api/set", b"{not json")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    # cross-origin rejections (CSRF guard): bad Origin, bad Host
+    for headers in (
+        {"Origin": "http://evil.example"},
+        {"Host": "evil.example"},
+    ):
+        try:
+            post("/api/load", b'{"path": "/etc/passwd"}', headers)
+            assert False, f"should 403 for {headers}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403, (headers, e.code)
+
+    # same-origin POST works (no render: set a config field and reset it)
+    r = json.loads(post(
+        "/api/set", b'{"path": "config.debug_lines", "value": "true"}',
+        {"Origin": f"http://127.0.0.1:{port}"},
+    ).read())
+    assert r == {"value": "True"}
+    r = json.loads(post(
+        "/api/set", b'{"path": "config.debug_lines", "value": "default"}'
+    ).read())
+    assert r == {"value": "False"}
