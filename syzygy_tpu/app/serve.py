@@ -66,7 +66,7 @@ _PAGE = """<!DOCTYPE html>
 <div id="panel">
   <div id="loadbar" style="margin-bottom:6px;">
     <input id="loadpath" class="val" style="width:200px"
-      placeholder="/path/to/scene.glb or image">
+      placeholder="/path/to.glb, image, or default|chessboard|flagship">
     <select id="loadmode"><option value="merge">merge</option>
       <option value="replace">replace</option></select>
     <label><input id="loadsrgb" type="checkbox" checked>sRGB</label>
@@ -572,6 +572,8 @@ class _State:
           the whole scene (camera pose carried over).
         * image files — register as a texture with the per-file
           sRGB/linear choice (the loadImageDialog's checkbox).
+        * a builtin scene name — ``default`` / ``sphere`` / ``chessboard``
+          / ``flagship`` — replaces the scene like the app's ``--scene``.
 
         Geometry/atlas repack + device upload happen before returning; the
         next frame renders the new content.
@@ -582,8 +584,46 @@ class _State:
         from syzygy_tpu.runtime import place_on_accelerator
         from syzygy_tpu.scene import pack_geometry
 
+        builtin = None
+        if path in ("default", "sphere", "chessboard", "flagship"):
+            if path == "default":
+                from syzygy_tpu.scene import default_scene as builtin
+            elif path == "chessboard":
+                from syzygy_tpu.assets.showcase import (
+                    chessboard_scene as builtin,
+                )
+            elif path == "flagship":
+                from syzygy_tpu.assets.chess import flagship_scene as builtin
+            else:
+                def builtin():
+                    from syzygy_tpu.assets import (
+                        TextureLibrary,
+                        register_default_textures,
+                        sphere_mesh,
+                    )
+                    from syzygy_tpu.scene import Scene, TransformHost
+
+                    library = TextureLibrary()
+                    material = register_default_textures(library)
+                    scene = Scene()
+                    scene.add_mesh_instance(
+                        sphere_mesh(material), "Sphere",
+                        [TransformHost.make(
+                            (0.0, -8.0, 0.0), scale=(5.0, 5.0, 5.0)
+                        )],
+                    )
+                    return scene, library
+
         with self.lock:
-            if ext in (".glb", ".gltf"):
+            if builtin is not None:
+                old_cam = self.scene.camera
+                scene, library = builtin()
+                scene.tick(0.0)
+                scene.camera.position = old_cam.position
+                scene.camera.euler_angles = old_cam.euler_angles
+                self.scene, self.library = scene, library
+                loaded = {"scene": path}
+            elif ext in (".glb", ".gltf"):
                 from syzygy_tpu.assets.gltf import (
                     load_gltf_meshes,
                     load_gltf_scene,

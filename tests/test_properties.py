@@ -318,6 +318,12 @@ def test_serve_runtime_asset_loading(tmp_path):
     png3 = state.render_png()
     assert png3[:4] == b"\x89PNG"
 
+    # builtin scene names load like --scene (camera carried over)
+    out = state.load_asset("chessboard")
+    assert out == {"scene": "chessboard"}
+    assert len(state.scene.geometry) > 1
+    assert state.render_png()[:4] == b"\x89PNG"
+
     import pytest
 
     with pytest.raises(Exception):
