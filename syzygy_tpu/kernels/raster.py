@@ -255,22 +255,27 @@ def _finish_setup(
     chunk: int,
     grid_origin,
 ) -> TriSetup:
-    """The grid/origin-dependent half of :func:`setup_triangles`: fold the
-    raster target's global pixel origin into the affine forms, derive the
-    per-triangle/per-chunk tile ranges for THIS grid, pad to the chunk
-    multiple and assemble the TriSetup."""
+    """The grid/origin-dependent half of :func:`setup_triangles`: derive
+    the per-triangle/per-chunk tile ranges for THIS grid (the affine forms
+    stay in GLOBAL pixel coordinates — the kernel adds the origin to its
+    local pixel coords exactly), pad to the chunk multiple and assemble
+    the TriSetup."""
     (
         alpha0, beta0, gamma0, alpha1, beta1, gamma1,
         z2c, dz0, dz1, valid_f, bb_min_x, bb_max_x, bb_min_y, bb_max_y,
     ) = [cols[:, i] for i in range(14)]
     all_valid = valid_f != 0.0
 
-    # Fold the raster target's global pixel origin into the affine forms so
-    # the kernel indexes purely local pixels (image-space sharding support).
+    # The affine forms stay in GLOBAL pixel coordinates: the raster kernel
+    # adds the grid origin to its local pixel coords (an EXACT f32 integer
+    # add), so a sharded row block evaluates bit-identical arithmetic to
+    # the single-chip frame. (The earlier alpha-fold formulation —
+    # alpha + beta*ox + gamma*oy — reassociated the rounding and flipped
+    # knife-edge PCF taps on non-zero-origin blocks: ~6% of pixels moved
+    # by one 1/25 tap step on the no-atmosphere default scene.) Only the
+    # LOCAL tile ranges below depend on the origin.
     origin_y = jnp.asarray(grid_origin[0], jnp.float32)
     origin_x = jnp.asarray(grid_origin[1], jnp.float32)
-    alpha0 = alpha0 + beta0 * origin_x + gamma0 * origin_y
-    alpha1 = alpha1 + beta1 * origin_x + gamma1 * origin_y
 
     t2 = cols.shape[0]
     t2_pad = round_up(t2, chunk)
@@ -379,8 +384,8 @@ def setup_triangles(
     slot math — the corner gather, clip fan, projection, coefficient
     build — across the named mesh axis and rejoin via ``all_gather``,
     so image-space sharding stops replicating the triangle setup on every
-    device (the grid-dependent origin fold + tile masks are per-device
-    and stay local). BITWISE-identical to the unsharded setup (slot order
+    device (the grid-dependent tile masks are per-device and stay
+    local). BITWISE-identical to the unsharded setup (slot order
     preserved; elementwise math on row slices). Requires the device count
     to divide T (pack_geometry's chunk padding guarantees it for
     power-of-two meshes; otherwise falls back to replicated setup).
@@ -413,11 +418,15 @@ def setup_triangles(
     grid_height = round_up(height, tile_h) if grid_height is None else grid_height
 
     if shard_axis is not None and (
-        triangles.shape[0] % jax.lax.axis_size(shard_axis) != 0
+        jax.lax.axis_size(shard_axis) == 1
+        or triangles.shape[0] % jax.lax.axis_size(shard_axis) != 0
     ):
-        # pack_geometry pads T to a chunk (64) multiple, so every
-        # power-of-two device count divides it; an exotic mesh that does
-        # not simply keeps the replicated setup (correct, just unsharded)
+        # axis size 1: "sharding" would be identity dynamic_slice +
+        # all_gather + reorder — pure full-table copies (measured ~+60 ms
+        # on the dense field at sp=1, tools/r5d_session.py). pack_geometry
+        # pads T to a chunk (64) multiple, so every power-of-two device
+        # count divides it; an exotic mesh that does not simply keeps the
+        # replicated setup (correct, just unsharded).
         shard_axis = None
     if shard_axis is not None:
         # Shard the origin-free per-triangle math over the mesh axis
@@ -480,21 +489,28 @@ class VisibilityBuffer(NamedTuple):
 def _chunk_loop(
     coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
     *, chunk_base, tile_h, tile_w, chunk, depth_only, unroll=False,
+    oy=0.0, ox=0.0,
 ):
     """Iterate one coefficient chunk over the (tile_h, tile_w) pixel tile.
 
     Each triangle first passes a SCALAR tile-bbox test (cols 10/11 pack its
     tile range) — triangles in the chunk that don't touch this tile skip
     the whole-tile vector evaluation (the per-triangle rejection that
-    approximates the hardware rasterizer's variable-cost behavior)."""
+    approximates the hardware rasterizer's variable-cost behavior).
+
+    ``oy``/``ox``: the raster target's global pixel origin. Pixel coords
+    are GLOBAL (local + origin — every term an exactly-representable
+    integer+0.5, so the add never rounds) and the coefficients are global
+    too: a sharded row block evaluates bitwise the same arithmetic as the
+    single-chip frame."""
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
         jnp.float32
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
         jnp.float32
     )
-    px = tx.astype(jnp.float32) * tile_w + col + 0.5
-    py = ty.astype(jnp.float32) * tile_h + row + 0.5
+    px = tx.astype(jnp.float32) * tile_w + col + 0.5 + ox
+    py = ty.astype(jnp.float32) * tile_h + row + 0.5 + oy
     inv_pack = 1.0 / _TILE_PACK
 
     def body(t, carry):
@@ -558,6 +574,7 @@ def _chunk_loop(
 def _chunk_loop_vector(
     coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
     *, chunk_base, tile_h, tile_w, chunk, depth_only,
+    oy=0.0, ox=0.0,
 ):
     """Branch-free chunk evaluation: every triangle's plane eval is emitted
     unrolled WITHOUT the bbox branch or the serial depth read-modify-write
@@ -590,8 +607,8 @@ def _chunk_loop_vector(
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
         jnp.float32
     )
-    px = tx.astype(jnp.float32) * tile_w + col + 0.5
-    py = ty.astype(jnp.float32) * tile_h + row + 0.5
+    px = tx.astype(jnp.float32) * tile_w + col + 0.5 + ox
+    py = ty.astype(jnp.float32) * tile_h + row + 0.5 + oy
 
     planes = []
     for t in range(chunk):
@@ -650,6 +667,7 @@ def _chunk_loop_vector(
 def _raster_kernel(
     mask_ref,  # SMEM (8, tiles_y * tiles_x) i32: chunk-rows c//8*8 .. +8
     coeffs_ref,  # VMEM (CHUNK, 12) f32
+    origin_ref,  # SMEM (1, 2) i32: the target's global (oy, ox) pixel origin
     depth_ref,
     tri_ref,
     b0_ref,
@@ -684,6 +702,8 @@ def _raster_kernel(
             coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
             chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
             depth_only=depth_only,
+            oy=origin_ref[0, 0].astype(jnp.float32),
+            ox=origin_ref[0, 1].astype(jnp.float32),
         )
 
 
@@ -704,11 +724,16 @@ def rasterize(
     depth_only: bool = False,
     unroll: bool = False,
     vector: bool = False,
+    origin=None,
 ) -> VisibilityBuffer:
-    """Run the visibility kernel. Target dims must be tile multiples. The
-    target's global pixel origin is pre-folded into the setup coefficients
-    (``setup_triangles(grid_origin=...)``), so the kernel works purely in
-    local pixels."""
+    """Run the visibility kernel. Target dims must be tile multiples.
+
+    ``origin`` = the target's global (oy, ox) pixel origin (may be traced;
+    None = (0, 0)). The kernel evaluates the GLOBAL-coordinate affine forms
+    at global pixel coords (local + origin, exact f32 integer adds), so a
+    sharded row block's raster is bitwise identical to the single-chip
+    frame's rows — pre-folding the origin into the coefficients instead
+    reassociated the rounding (knife-edge PCF taps flipped downstream)."""
     assert width % tile_w == 0 and height % tile_h == 0, (width, height)
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_chunks = setup.coeffs.shape[0] // chunk
@@ -723,7 +748,12 @@ def rasterize(
         vector=vector,
     )
 
-    vma = _out_vma(setup.chunk_mask, setup.coeffs)
+    org = (
+        jnp.zeros((1, 2), jnp.int32)
+        if origin is None
+        else jnp.asarray(origin, jnp.int32).reshape(1, 2)
+    )
+    vma = _out_vma(setup.chunk_mask, setup.coeffs, org)
     out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma)]
     if not depth_only:
         out_shape += [
@@ -752,21 +782,26 @@ def rasterize(
                 lambda ty, tx, c: (c, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, 2),
+                lambda ty, tx, c: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=out_specs,
     )
 
     if depth_only:
         # dummy refs for the unused outputs
-        def kernel_depth(mask_ref, coeffs_ref, depth_ref):
-            kernel(mask_ref, coeffs_ref, depth_ref, None, None, None)
+        def kernel_depth(mask_ref, coeffs_ref, origin_ref, depth_ref):
+            kernel(mask_ref, coeffs_ref, origin_ref, depth_ref, None, None, None)
 
         (depth,) = pl.pallas_call(
             kernel_depth,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=use_interpret(),
-        )(setup.chunk_mask, setup.coeffs)
+        )(setup.chunk_mask, setup.coeffs, org)
         empty = jnp.zeros((0, 0))
         return VisibilityBuffer(depth=depth, tri=empty, b0=empty, b1=empty)
 
@@ -775,7 +810,7 @@ def rasterize(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=use_interpret(),
-    )(setup.chunk_mask, setup.coeffs)
+    )(setup.chunk_mask, setup.coeffs, org)
     return VisibilityBuffer(depth=depth, tri=tri, b0=b0, b1=b1)
 
 
@@ -814,6 +849,7 @@ def build_tile_lists(setup: TriSetup, capacity: int, chunk: int = CHUNK):
 def _raster_kernel_listed(
     table_ref,  # scalar prefetch: (tiles, cap) i32 chunk ids
     counts_ref,  # scalar prefetch: (tiles,) i32 list lengths (<= cap)
+    origin_ref,  # scalar prefetch: (2,) i32 global (oy, ox) pixel origin
     coeffs_ref,  # VMEM (CHUNK, 12) f32 — the chunk named by the table
     depth_ref,
     tri_ref,
@@ -851,6 +887,8 @@ def _raster_kernel_listed(
             coeffs_ref, ty, tx, depth_ref, tri_ref, b0_ref, b1_ref,
             chunk_base=c * chunk, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
             depth_only=depth_only,
+            oy=origin_ref[0].astype(jnp.float32),
+            ox=origin_ref[1].astype(jnp.float32),
         )
 
 
@@ -874,6 +912,7 @@ def rasterize_listed(
     vector: bool = False,
     table: jnp.ndarray | None = None,
     counts: jnp.ndarray | None = None,
+    origin=None,
 ):
     """Compact-list variant of :func:`rasterize`: the grid's chunk axis is
     ``capacity`` (max chunks any tile may see) instead of ALL chunks; each
@@ -916,7 +955,12 @@ def rasterize_listed(
         vector=vector,
     )
 
-    vma = _out_vma(table, counts, coeffs)
+    org = (
+        jnp.zeros((2,), jnp.int32)
+        if origin is None
+        else jnp.asarray(origin, jnp.int32).reshape(2)
+    )
+    vma = _out_vma(table, counts, coeffs, org)
     out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32, vma=vma)]
     if not depth_only:
         out_shape += [
@@ -927,7 +971,7 @@ def rasterize_listed(
 
     tile_spec = pl.BlockSpec(
         (tile_h, tile_w),
-        lambda ty, tx, s, tbl, cnt: (ty, tx),
+        lambda ty, tx, s, tbl, cnt, o: (ty, tx),
         memory_space=pltpu.VMEM,
     )
     # KNOWN vma-checker GAP: under shard_map(check_vma=True) this index_map
@@ -938,11 +982,11 @@ def rasterize_listed(
     # through PrefetchScalarGridSpec index_maps, sharded tracing with the
     # checker ON must disable the listed raster (tile_list_capacity=0) —
     # tests/test_frame.py::test_sharded_vma_checked traces exactly that.
-    def _coeff_index(ty, tx, s, tbl, cnt):
+    def _coeff_index(ty, tx, s, tbl, cnt, o):
         return tbl[ty * tiles_x + tx, s], 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x, cap),
         in_specs=[
             pl.BlockSpec(
@@ -955,15 +999,15 @@ def rasterize_listed(
     )
 
     if depth_only:
-        def kernel_depth(tbl, cnt, coeffs_ref, depth_ref):
-            kernel(tbl, cnt, coeffs_ref, depth_ref, None, None, None)
+        def kernel_depth(tbl, cnt, org_ref, coeffs_ref, depth_ref):
+            kernel(tbl, cnt, org_ref, coeffs_ref, depth_ref, None, None, None)
 
         (depth,) = pl.pallas_call(
             kernel_depth,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=use_interpret(),
-        )(table, counts, coeffs)
+        )(table, counts, org, coeffs)
         empty = jnp.zeros((0, 0))
         return VisibilityBuffer(depth=depth, tri=empty, b0=empty, b1=empty), dropped
 
@@ -972,5 +1016,5 @@ def rasterize_listed(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=use_interpret(),
-    )(table, counts, coeffs)
+    )(table, counts, org, coeffs)
     return VisibilityBuffer(depth=depth, tri=tri, b0=b0, b1=b1), dropped

@@ -338,8 +338,14 @@ def build_resolve_records(
     n_t = geometry.triangles.shape[0]
     assert t2_pad >= 2 * n_t, (t2_pad, n_t)
 
-    if shard_axis is not None and n_t % jax.lax.axis_size(shard_axis) != 0:
-        shard_axis = None  # exotic device count: keep the replicated build
+    if shard_axis is not None and (
+        jax.lax.axis_size(shard_axis) == 1
+        or n_t % jax.lax.axis_size(shard_axis) != 0
+    ):
+        # axis size 1 would be identity slice+gather copies of the whole
+        # records table (see setup_triangles); exotic device counts keep
+        # the replicated build
+        shard_axis = None
     if shard_axis is None:
         rows = _record_rows(
             geometry.triangles,

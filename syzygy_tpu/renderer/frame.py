@@ -62,7 +62,8 @@ N_DIRECTIONAL = 2  # sun + moon (renderer.cpp:311-328)
 
 
 def _dispatch_raster(
-    setup, width, height, config, depth_only=False, tile_h=None, tile_w=None
+    setup, width, height, config, depth_only=False, tile_h=None, tile_w=None,
+    origin=None,
 ):
     """Pick the compact-list raster when its prefetch table fits SMEM,
     else fall back to the iterate-all-chunks kernel.
@@ -100,6 +101,7 @@ def _dispatch_raster(
                     vector=config.raster_vector,
                     table=table,
                     counts=counts,
+                    origin=origin,
                 )
                 return vis
 
@@ -119,6 +121,7 @@ def _dispatch_raster(
                     depth_only=depth_only,
                     unroll=config.raster_unroll,
                     vector=config.raster_vector,
+                    origin=origin,
                 ),
             )
     return rasterize(
@@ -131,6 +134,7 @@ def _dispatch_raster(
         depth_only=depth_only,
         unroll=config.raster_unroll,
         vector=config.raster_vector,
+        origin=origin,
     )
 
 
@@ -612,22 +616,43 @@ def _shadow_pass(
     # lights raster (an n_shadow_maps=10 config with 3 live lights skips 7
     # setup+grid passes; inactive slots keep the zero map, identical to an
     # empty raster).
-    if shard_axis is not None:
+    if shard_axis is not None and jax.lax.axis_size(shard_axis) > 1:
+        # Light parallelism over ACTIVE lights: compact the live lights
+        # first (stable order, like the single-chip loop), partition the
+        # compacted range across devices, and raster each device's share
+        # with a dynamic-trip-count loop — a device whose share is empty
+        # rasters NOTHING (the old slot partition ran a full raster grid
+        # for every one of the n_maps slots, active or not: ~10 grids at
+        # sp=1 where the single-chip path runs ~2).
         n_dev = jax.lax.axis_size(shard_axis)
         my = jax.lax.axis_index(shard_axis)
         per_dev = cdiv_static(n_maps, n_dev)
-        pad = per_dev * n_dev - n_maps
-        pv_p = jnp.concatenate(
-            [pv, jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (pad, 1, 1))]
+        order = jnp.argsort(~active, stable=True).astype(jnp.int32)
+        n_active = jnp.sum(active.astype(jnp.int32))
+
+        def raster_one(k, maps):
+            i = order[my * per_dev + k]
+            depth = one_light(pv[i], jnp.bool_(True))
+            return jax.lax.dynamic_update_slice(maps, depth[None], (k, 0, 0))
+
+        count = jnp.clip(n_active - my * per_dev, 0, per_dev)
+        local = jax.lax.fori_loop(
+            0,
+            count,
+            raster_one,
+            match_vma(
+                jnp.zeros((per_dev, dim, dim), jnp.float32), pv, active, my
+            ),
         )
-        active_p = jnp.concatenate([active, jnp.zeros(pad, bool)])
-        pv_local = jax.lax.dynamic_slice(
-            pv_p, (my * per_dev, 0, 0), (per_dev, 4, 4)
-        )
-        active_local = jax.lax.dynamic_slice(active_p, (my * per_dev,), (per_dev,))
-        local = jax.lax.map(lambda args: one_light(*args), (pv_local, active_local))
         gathered = jax.lax.all_gather(local, shard_axis)  # (n_dev, per_dev, ...)
-        maps = gathered.reshape(n_dev * per_dev, dim, dim)[:n_maps]
+        flat = gathered.reshape(n_dev * per_dev, dim, dim)
+        # scatter compacted results back to their light slots; inactive
+        # slots receive flat's zero rows (identical to an empty raster)
+        maps = (
+            match_vma(jnp.zeros((n_maps, dim, dim), jnp.float32), flat)
+            .at[order]
+            .set(flat[:n_maps])
+        )
     else:
         # Compact to the maps that raster (stable order preserved):
         # inactive / skipped slots keep the zero map.
@@ -728,7 +753,12 @@ def _geometry_body(
             shadow_shard_axis if config.shard_triangle_setup else None
         ),
     )
-    vis = _dispatch_raster(setup, config.padded_width, local_rows, config)
+    vis = _dispatch_raster(
+        setup, config.padded_width, local_rows, config,
+        origin=jnp.stack(
+            [jnp.asarray(row0, jnp.int32), jnp.int32(0)]
+        ),
+    )
     if _defers_resolve(config, geometry):
         # defer the per-pixel resolve to the lighting+sky program's row
         # chunks; hand over the pre-joined records instead of a G-buffer
