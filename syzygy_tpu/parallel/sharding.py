@@ -17,11 +17,11 @@ Atmosphere LUTs are recomputed per device rather than sharded and gathered —
 they are small next to the per-pixel work (~3 ms), and recompute avoids an
 ICI round-trip on the frame critical path.
 
-Measured overhead (tools/r5{,b,c}_session.py, one day): the sharded path at
-(dp=1, sp=1) runs **120.9 vs 118.9 ms/frame** staged single-chip — ~2 ms of
-shard_map boundary cost, ~1.4 ms of which is the sp=1 identity setup/records
-all_gathers that buy real O(T) sharding at sp >= 2. Two early pitfalls are
-permanently encoded here: (1) NEVER vmap the per-device frame batch — it
+Measured overhead (tools/r5{,b,c,d}_session.py, one day): the sharded path
+at (dp=1, sp=1) is a WASH vs the staged single-chip path (default 119.5 vs
+119.5 ms/frame; dense +1.4 ms) with BITWISE-identical output (the raster
+kernels evaluate global pixel coordinates — docs/BENCHMARKS.md round-11
+items 9-10). Two early pitfalls are permanently encoded here: (1) NEVER vmap the per-device frame batch — it
 cost 1.9x on the default scene and 15.6x on the dense field (batched
 lax.cond runs both branches; batch dims wreck hot gather layouts) — see
 :func:`_map_frames`; (2) the frame runs as TWO chained shard_map programs
