@@ -161,7 +161,6 @@ def main() -> None:
     from syzygy_tpu.renderer import RenderConfig, render_frame_packed
     from syzygy_tpu.runtime import fetch_frame_u8, place_on_accelerator
     from syzygy_tpu.scene import (
-        default_scene,
         flatten_frame_params,
         frame_param_spec,
         pack_frame_params,
@@ -491,15 +490,14 @@ def _run_compute_collection(args) -> None:
 
 
 def _build_scene(args):
-    from syzygy_tpu.assets import (
-        TextureLibrary,
-        register_default_textures,
-        sphere_mesh,
-    )
-    from syzygy_tpu.scene import Scene, TransformHost, default_scene
-
     if args.load_scene:
-        from syzygy_tpu.assets import cube_mesh, plane_mesh
+        from syzygy_tpu.assets import (
+            TextureLibrary,
+            cube_mesh,
+            plane_mesh,
+            register_default_textures,
+            sphere_mesh,
+        )
         from syzygy_tpu.scene.serialize import load_scene
 
         library = TextureLibrary()
@@ -514,26 +512,9 @@ def _build_scene(args):
         from syzygy_tpu.assets.gltf import load_gltf_scene
 
         return load_gltf_scene(args.gltf)
-    if args.scene == "chessboard":
-        from syzygy_tpu.assets.showcase import chessboard_scene
+    from syzygy_tpu.app.scenes import builtin_scene
 
-        return chessboard_scene()
-    if args.scene == "flagship":
-        # the lathed-chess flagship (ABeautifulGame stand-in, assets/chess.py)
-        from syzygy_tpu.assets.chess import flagship_scene
-
-        return flagship_scene()
-    if args.scene == "sphere":
-        library = TextureLibrary()
-        material = register_default_textures(library)
-        scene = Scene()
-        scene.add_mesh_instance(
-            sphere_mesh(material),
-            "Sphere",
-            [TransformHost.make((0.0, -8.0, 0.0), scale=(5.0, 5.0, 5.0))],
-        )
-        return scene, library
-    return default_scene()
+    return builtin_scene(args.scene)
 
 
 if __name__ == "__main__":

@@ -40,8 +40,8 @@ _PAGE = """<!DOCTYPE html>
         display:flex; height:100vh; }
  #view { flex:1; display:flex; flex-direction:column; align-items:center;
          justify-content:center; }
- #frame { image-rendering:pixelated; max-width:96%; border:1px solid #333;
-          cursor:crosshair; }
+ #frame { image-rendering:pixelated; width:68vw; max-width:96%;
+          border:1px solid #333; cursor:crosshair; }
  #hud { padding:6px; color:#8a8f98; }
  #panel { width:420px; overflow-y:auto; background:#1a1d22; padding:8px;
           border-left:1px solid #333; }
@@ -89,12 +89,9 @@ function refresh() {
   busy = true; status.textContent = 'rendering...';
   const img = new Image();
   img.onload = async () => { frame.src = img.src; busy = false;
-    // lock the display box to the first (full-res) frame so preview
-    // frames upscale into the same box instead of shrinking the img
-    requestAnimationFrame(() => {
-      if (!frame.style.width && frame.clientWidth)
-        frame.style.width = frame.clientWidth + 'px';
-    });
+    // #frame has a FIXED relative width (68vw) so preview frames and
+    // config resolution changes all scale into the same display box
+    // (the reference scales its viewport image to the window too)
     status.textContent = 'ready';
     try {  // performance window analog: frame ms + FPS ring report
       const s = await (await fetch('/api/stats')).json();
@@ -251,8 +248,6 @@ class _State:
         pipeline=False,
         preview_scale=1,
     ):
-        import dataclasses
-
         from syzygy_tpu.runtime import place_on_accelerator
         from syzygy_tpu.scene import pack_geometry
 
@@ -291,15 +286,22 @@ class _State:
 
     def _rebuild_preview(self):
         """(Re)derive the preview config from the current full config —
-        must re-run whenever self.config changes (set_config)."""
+        must re-run whenever self.config changes (set_config). Dims divide
+        by ONE scale (aspect preserved to integer rounding — independent
+        floors distorted the preview); sky_row_chunks resets to auto (a
+        manual override validated for the FULL height may not divide the
+        preview's); a preview that would not shrink is disabled (no point
+        rendering every input frame twice)."""
         import dataclasses
 
+        self._preview_config = None
         if self.preview_scale > 1:
-            self._preview_config = dataclasses.replace(
-                self.config,
-                width=max(64, self.config.width // self.preview_scale),
-                height=max(32, self.config.height // self.preview_scale),
-            )
+            pw = max(1, self.config.width // self.preview_scale)
+            ph = max(1, self.config.height // self.preview_scale)
+            if (pw, ph) != (self.config.width, self.config.height):
+                self._preview_config = dataclasses.replace(
+                    self.config, width=pw, height=ph, sky_row_chunks=0,
+                )
 
     def _dispatch(self, cfg):
         """Async-dispatch one frame of the current scene at ``cfg``."""
@@ -319,13 +321,6 @@ class _State:
 
     def render_png(self) -> bytes:
         import time
-
-        from syzygy_tpu.renderer import render_frame_packed
-        from syzygy_tpu.scene import (
-            flatten_frame_params,
-            frame_param_spec,
-            pack_frame_params,
-        )
 
         with self.lock:
             if (
@@ -584,40 +579,12 @@ class _State:
         from syzygy_tpu.runtime import place_on_accelerator
         from syzygy_tpu.scene import pack_geometry
 
-        builtin = None
-        if path in ("default", "sphere", "chessboard", "flagship"):
-            if path == "default":
-                from syzygy_tpu.scene import default_scene as builtin
-            elif path == "chessboard":
-                from syzygy_tpu.assets.showcase import (
-                    chessboard_scene as builtin,
-                )
-            elif path == "flagship":
-                from syzygy_tpu.assets.chess import flagship_scene as builtin
-            else:
-                def builtin():
-                    from syzygy_tpu.assets import (
-                        TextureLibrary,
-                        register_default_textures,
-                        sphere_mesh,
-                    )
-                    from syzygy_tpu.scene import Scene, TransformHost
-
-                    library = TextureLibrary()
-                    material = register_default_textures(library)
-                    scene = Scene()
-                    scene.add_mesh_instance(
-                        sphere_mesh(material), "Sphere",
-                        [TransformHost.make(
-                            (0.0, -8.0, 0.0), scale=(5.0, 5.0, 5.0)
-                        )],
-                    )
-                    return scene, library
+        from syzygy_tpu.app.scenes import BUILTIN_SCENES, builtin_scene
 
         with self.lock:
-            if builtin is not None:
+            if path in BUILTIN_SCENES:
                 old_cam = self.scene.camera
-                scene, library = builtin()
+                scene, library = builtin_scene(path)
                 scene.tick(0.0)
                 scene.camera.position = old_cam.position
                 scene.camera.euler_angles = old_cam.euler_angles

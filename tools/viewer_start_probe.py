@@ -39,9 +39,9 @@ def main():
     state = _State(
         scene, library, RenderConfig(width=512, height=256), pipeline=True
     )
-    t0 = time.perf_counter()
+    t_setup_done = time.perf_counter()
     png = state.render_png()
-    first_s = time.perf_counter() - t0
+    first_s = time.perf_counter() - t_setup_done
 
     # steady frame (dirty via a camera nudge, like a browser drag).
     # NOTE: with pipeline=True the dirty request returns the PREVIOUS
@@ -62,7 +62,7 @@ def main():
     print(json.dumps({
         "cache_dir": cache_dir,
         "cache_entries_before": entries,
-        "setup_s": round(t0 - t_import, 1),
+        "setup_s": round(t_setup_done - t_import, 1),
         "first_frame_s": round(first_s, 1),
         "steady_frame_ms": round(steady_s * 1e3, 1),
         "png_bytes": len(png),
