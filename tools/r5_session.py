@@ -37,14 +37,6 @@ import numpy as np
 CACHE_DIR = "/tmp/szg_cache_probe"
 
 
-def _enable_cache():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-
 def cache_child(cache_dir: str) -> None:
     """Subprocess body for probe A: compile + force one 512x256 frame,
     print phase timings as JSON on the last line."""
