@@ -1157,7 +1157,8 @@ def render_frame(
 ) -> jnp.ndarray:
     """Scene state -> (height, width, 3) nonlinear-encoded image in [0, 1].
 
-    Three (or two, with ``fuse_lighting_sky``) chained device programs; the
+    Two chained device programs by default (three with
+    ``fuse_lighting_sky=False``); the
     host enqueues them all without syncing (one logical queue submission,
     like editor.cpp:396-401).
     """
