@@ -105,7 +105,9 @@ def main() -> None:
                         metavar="PATH=VALUE",
                         help="set one scene property by dotted path before "
                         "rendering (e.g. camera.fov_degrees=90, "
-                        "atmosphere.sun_euler_angles=[1.2,0,0]); "
+                        "atmosphere.sun_euler_angles=[1.2,0,0]), or any "
+                        "RenderConfig field via config.FIELD=VALUE (the "
+                        "pipeline-parameter editor, CLI form); "
                         "PATH=default resets to the discovered default; "
                         "repeatable (see --list-properties)")
     parser.add_argument("--mipmaps", action="store_true",
@@ -225,10 +227,12 @@ def main() -> None:
     scene.camera.euler_angles = tuple(
         np.asarray(eulers_from_forward(look_target - eye))
     )
-    if args.set or args.list_properties:
+    config_sets = [s for s in args.set if s.startswith("config.")]
+    scene_sets = [s for s in args.set if not s.startswith("config.")]
+    if scene_sets or args.list_properties:
         from syzygy_tpu.app.properties import apply_set, discover, format_table
 
-        for spec in args.set:
+        for spec in scene_sets:
             path = apply_set(scene, spec)
             log.info("set %s", path)
         if args.list_properties:
@@ -249,6 +253,17 @@ def main() -> None:
         # static skip is bitwise-identical when no material is metallic
         metallic_reflection=scene_uses_metallic(scene, library),
     )
+    # --set config.FIELD=VALUE edits any RenderConfig field by reflection
+    # (the pipeline push-constant editor, CLI form; VALUE "default" resets)
+    if config_sets:
+        from syzygy_tpu.app.properties import apply_config_field
+
+        for spec in config_sets:
+            path, _, text = spec.partition("=")
+            config = apply_config_field(
+                config, path[len("config."):].strip(), text.strip()
+            )
+            log.info("set %s", path)
     if args.serve:
         from syzygy_tpu.app.serve import serve
 

@@ -250,3 +250,53 @@ def apply_set(scene: Scene, spec: str) -> str:
     else:
         set_path(scene, path, parse_value(text.strip()))
     return path
+
+
+def apply_config_field(config, name: str, value):
+    """Edit one RenderConfig field by reflected type — the pipeline
+    push-constant editor's coercion core (``ui/pipelineui.cpp:43-424``
+    edits shader push constants through reflected member types; ours are
+    the RenderConfig dataclass fields). ``value`` may be a string (JSON
+    parsed, ``"default"`` resets to the dataclass default) or an already-
+    typed value. Returns the NEW config; the old one is untouched —
+    validation (positive dimensions, sky-chunk divisibility) completes
+    before anything is constructed for use, so an invalid edit can never
+    half-apply. Shared by the viewer's ``/api/set`` (``config.*`` rows)
+    and the CLI's ``--set config.*``."""
+    import dataclasses
+
+    fields = {f.name: f for f in dataclasses.fields(type(config))}
+    if name not in fields:
+        raise KeyError(f"no RenderConfig field {name!r}")
+    fld = fields[name]
+    if isinstance(value, str) and value.strip() == "default":
+        value = fld.default
+    else:
+        if isinstance(value, str):
+            value = parse_value(value)
+        want = type(fld.default)
+        if want is bool:
+            if isinstance(value, str):  # "False"/"off" must not be truthy
+                value = value.strip().lower() in ("1", "true", "on", "yes")
+            value = bool(value)
+        elif want is int:
+            value = int(value)
+        elif want is float:
+            value = float(value)
+        elif want is str:
+            value = str(value)
+    new = dataclasses.replace(config, **{name: value})
+    for dim in (
+        "width", "height", "shadow_dim", "supersample",
+        "skyview_width", "skyview_height",
+        "transmittance_width", "transmittance_height",
+    ):
+        if getattr(new, dim) <= 0:
+            raise ValueError(f"{dim} must be positive")
+    # surface invalid combinations NOW (e.g. sky_row_chunks that doesn't
+    # divide the height) instead of at render time
+    from syzygy_tpu.renderer.frame import _sky_chunks
+
+    if new.render_atmosphere:
+        _sky_chunks(new.padded_height, new.padded_width, new.sky_row_chunks)
+    return new

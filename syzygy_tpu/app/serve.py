@@ -444,51 +444,14 @@ class _State:
         Changing one swaps in a new static config: the next frame
         recompiles (amortized across sessions by the persistent
         compilation cache) with identical semantics otherwise."""
-        import dataclasses
+        from syzygy_tpu.app.properties import apply_config_field
 
-        from syzygy_tpu.app.properties import parse_value
-
-        fields = {f.name: f for f in dataclasses.fields(type(self.config))}
-        if name not in fields:
-            raise KeyError(f"no RenderConfig field {name!r}")
-        fld = fields[name]
-        if isinstance(value, str) and value.strip() == "default":
-            value = fld.default
-        else:
-            if isinstance(value, str):
-                value = parse_value(value)
-            want = type(fld.default)
-            if want is bool:
-                if isinstance(value, str):  # "False"/"off" must not be truthy
-                    value = value.strip().lower() in ("1", "true", "on", "yes")
-                value = bool(value)
-            elif want is int:
-                value = int(value)
-            elif want is float:
-                value = float(value)
-            elif want is str:
-                value = str(value)
         with self.lock:
-            new = dataclasses.replace(self.config, **{name: value})
-            # Validate FULLY before installing: a bad value must leave the
-            # running config untouched (previously height=0 was assigned
-            # before the aspect division raised, bricking every later
-            # frame until a manual reset).
-            for dim in (
-                "width", "height", "shadow_dim", "supersample",
-                "skyview_width", "skyview_height",
-                "transmittance_width", "transmittance_height",
-            ):
-                if getattr(new, dim) <= 0:
-                    raise ValueError(f"{dim} must be positive")
-            # surface invalid combinations NOW (e.g. sky_row_chunks that
-            # doesn't divide the height) instead of at render time
-            from syzygy_tpu.renderer.frame import _sky_chunks
-
-            if new.render_atmosphere:
-                _sky_chunks(
-                    new.padded_height, new.padded_width, new.sky_row_chunks
-                )
+            # apply_config_field validates FULLY before anything installs:
+            # a bad value must leave the running config untouched
+            # (previously height=0 was assigned before the aspect division
+            # raised, bricking every later frame until a manual reset)
+            new = apply_config_field(self.config, name, value)
             aspect = new.width / new.height
             self.config = new
             self.aspect = aspect

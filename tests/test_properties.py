@@ -584,3 +584,26 @@ def test_serve_http_layer():
         "/api/set", b'{"path": "config.debug_lines", "value": "default"}'
     ).read())
     assert r == {"value": "False"}
+
+
+def test_apply_config_field():
+    """The shared RenderConfig edit core (viewer config.* rows + CLI
+    --set config.*): reflected type coercion, default reset, and
+    validate-before-construct (an invalid edit returns an error and the
+    input config object is untouched)."""
+    from syzygy_tpu.app.properties import apply_config_field
+    from syzygy_tpu.renderer import RenderConfig
+
+    cfg = RenderConfig(width=128, height=64)
+    c2 = apply_config_field(cfg, "oetf", "gamma")
+    assert c2.oetf == "gamma" and cfg.oetf == "srgb"
+    assert apply_config_field(c2, "oetf", "default").oetf == "srgb"
+    assert apply_config_field(cfg, "pcf_f16", "False").pcf_f16 is False
+    assert apply_config_field(cfg, "shadow_dim", "256").shadow_dim == 256
+    assert apply_config_field(cfg, "shadow_bias_slope", "-1.5").shadow_bias_slope == -1.5
+    with pytest.raises(KeyError):
+        apply_config_field(cfg, "nope", "1")
+    with pytest.raises(ValueError):
+        apply_config_field(cfg, "height", "0")
+    with pytest.raises(ValueError):
+        apply_config_field(cfg, "sky_row_chunks", "7")
